@@ -1,0 +1,22 @@
+"""mfnerf_tpu — a TPU-native (JAX/XLA/Pallas) re-implementation of MF-NeRF.
+
+A brand-new framework with the capabilities of lly00412/MF-NeRF (an
+Instant-NGP-style NeRF trainer with the Mixed-Feature hash-grid encoding of
+arXiv 2304.12587), redesigned for TPU:
+
+* the tinycudann hash / mixed-feature grid encoding is a native JAX gather +
+  scatter-add op (``mfnerf_tpu.ops.hashgrid``),
+* the CUDA DDA ray march (reference ``models/csrc/raymarching.cu``) is
+  re-expressed as a closed-form "t-ladder" + masked occupancy lookup +
+  static-shape compaction that XLA fuses (``mfnerf_tpu.ops.ray_march``),
+* front-to-back compositing is an associative scan with a hand-derived
+  custom VJP (``mfnerf_tpu.ops.composite``),
+* data parallelism uses ``jax.sharding`` meshes + ``shard_map``/psum
+  (``mfnerf_tpu.parallel``) instead of NCCL DDP.
+"""
+
+__version__ = "0.1.0"
+
+MAX_SAMPLES = 1024
+NEAR_DISTANCE = 0.01
+SQRT3 = 1.7320508075688772
