@@ -1,0 +1,355 @@
+"""NGP radiance field: hash-grid encoder + sigma/rgb MLPs + occupancy grid.
+
+TPU-native re-design of the reference ``NGP(nn.Module)``
+(models/networks.py:12-271). Differences from the reference are architectural,
+not behavioral:
+
+* tinycudann's fused ``NetworkWithInputEncoding`` / ``FullyFusedMLP`` /
+  ``SphericalHarmonics`` become plain jnp matmuls + our hashgrid/sh ops; XLA
+  fuses them into the surrounding rendering computation (tcnn MLPs are
+  bias-free, which we match).
+* the model is a pytree of arrays + a static config, so the same functions
+  run under jit/shard_map without module state;
+* occupancy maintenance (update_density_grid / mark_invisible_cells) is fully
+  on-device jnp: Morton-ordered density grid, EMA decay, erosion, packbits —
+  semantics follow networks.py:157-271 exactly, except that sampling
+  "occupied" cells uses exact inverse-CDF sampling over the occupancy mask
+  (static shapes) instead of torch.nonzero + randint (dynamic shapes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import trunc_exp
+from ..ops.hashgrid import (HashGridConfig, hashgrid_encode,
+                            init_hashgrid_params, window_weights)
+from ..ops.morton import morton3d_invert, packbits
+from ..ops.sh import sh_encode
+
+NEAR_DISTANCE = 0.01  # reference models/rendering.py:8
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPConfig:
+    """Static model configuration mirroring the reference CLI (opt.py:19-90)."""
+    scale: float = 0.5
+    grid: str = "Hash"            # Hash | Window | MixedFeature
+    L: int = 16
+    F: int = 2
+    log2_T: int = 19
+    N_min: int = 16
+    N_max: int = 2048
+    N_tables: int = 1
+    rgb_channels: int = 64
+    rgb_layers: int = 2
+    rgb_act: str = "Sigmoid"      # 'Sigmoid' | 'None' (HDR / exposure mode)
+    grid_size: int = 128
+    sigma_neurons: int = 64       # tcnn sigma MLP width (networks.py:54)
+    geo_feat_dim: int = 16        # sigma MLP output width (networks.py:38)
+    sh_degree: int = 4
+
+    @property
+    def cascades(self) -> int:
+        # each cascade covers [-2^(k-1), 2^(k-1)]^3 (networks.py:26)
+        return max(1 + int(math.ceil(math.log2(2 * self.scale))), 1)
+
+    @property
+    def per_level_scale(self) -> float:
+        # growth factor b (networks.py:33)
+        return math.exp(
+            math.log(self.N_max * self.scale / self.N_min) / (self.L - 1))
+
+    @property
+    def hash_cfg(self) -> HashGridConfig:
+        return HashGridConfig.create(
+            L=self.L, F=self.F, log2_T=self.log2_T, N_min=self.N_min,
+            b=self.per_level_scale, grid_type=self.grid,
+            N_tables=self.N_tables)
+
+    @property
+    def n_cells(self) -> int:
+        return self.grid_size ** 3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class OccupancyState:
+    """Occupancy-grid buffers (reference buffers density_grid/density_bitfield/
+    count_grid, train.py:77-81 + networks.py:28-29,212)."""
+    density_grid: jnp.ndarray    # (C, G^3) float32, Morton cell order
+    density_bitfield: jnp.ndarray  # (C*G^3//8,) uint8
+    count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
+
+    def tree_flatten(self):
+        return (self.density_grid, self.density_bitfield, self.count_grid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(cfg: NGPConfig) -> "OccupancyState":
+        c, n = cfg.cascades, cfg.n_cells
+        return OccupancyState(
+            density_grid=jnp.zeros((c, n), jnp.float32),
+            density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
+            count_grid=jnp.zeros((c, n), jnp.float32),
+        )
+
+
+def _mlp_init(key, sizes, dtype=jnp.float32):
+    """Bias-free MLP weights, He-uniform (ReLU hidden layers)."""
+    ws = []
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        bound = math.sqrt(6.0 / fan_in)
+        ws.append(jax.random.uniform(sub, (fan_in, fan_out), dtype,
+                                     minval=-bound, maxval=bound))
+    return ws
+
+
+def _mlp_apply(ws, x, out_act=None):
+    h = x
+    for w in ws[:-1]:
+        h = jax.nn.relu(h @ w)
+    h = h @ ws[-1]
+    if out_act == "sigmoid":
+        h = jax.nn.sigmoid(h)
+    return h
+
+
+class NGP:
+    """Functional NGP model: ``NGP(cfg)`` holds only static config; params and
+    occupancy are explicit pytrees threaded through the methods."""
+
+    def __init__(self, cfg: NGPConfig):
+        self.cfg = cfg
+        self.hash_cfg = cfg.hash_cfg
+
+    # ------------------------------------------------------------------ init
+    def init(self, key) -> dict:
+        cfg = self.cfg
+        k_table, k_sigma, k_rgb, k_tm = jax.random.split(key, 4)
+        sh_dim = cfg.sh_degree ** 2
+        params = {
+            "hash_table": init_hashgrid_params(k_table, self.hash_cfg),
+            # sigma net: L*F -> 64 -> 16 (networks.py:36-57)
+            "sigma_mlp": _mlp_init(
+                k_sigma, [cfg.L * cfg.F, cfg.sigma_neurons, cfg.geo_feat_dim]),
+            # rgb net: (sh + geo_feat) -> rgb_channels x rgb_layers -> 3
+            "rgb_mlp": _mlp_init(
+                k_rgb, [sh_dim + cfg.geo_feat_dim]
+                + [cfg.rgb_channels] * cfg.rgb_layers + [3]),
+        }
+        if cfg.rgb_act == "None":
+            # HDR-NeRF tonemappers, one per channel (networks.py:81-94)
+            tms = []
+            for i in range(3):
+                k_tm, sub = jax.random.split(k_tm)
+                tms.append(_mlp_init(sub, [1, 64, 1]))
+            params["tonemappers"] = tms
+        return params
+
+    # --------------------------------------------------------------- queries
+    def _normalize(self, x):
+        cfg = self.cfg
+        # (x - xyz_min) / (xyz_max - xyz_min), networks.py:105
+        return jnp.clip((x + cfg.scale) / (2 * cfg.scale), 0.0, 1.0)
+
+    def density(self, params, x, return_feat=False, window_alpha=None):
+        """sigma at world positions x in [-scale, scale]^3.
+
+        Parity: networks.py:96-109. Returns (N,) sigma [and (N,16) features].
+        """
+        xn = self._normalize(x)
+        win = None
+        if self.cfg.grid == "Window" and window_alpha is not None:
+            win = window_weights(self.hash_cfg, window_alpha)
+        enc = hashgrid_encode(params["hash_table"], xn, self.hash_cfg, win)
+        h = _mlp_apply(params["sigma_mlp"], enc)
+        sigmas = trunc_exp(h[:, 0])
+        if return_feat:
+            return sigmas, h
+        return sigmas
+
+    def log_radiance_to_rgb(self, params, log_radiances, exposure=None):
+        """HDR-NeRF tonemapping (networks.py:111-132), rgb_act == 'None'."""
+        if exposure is not None:
+            log_exposure = jnp.log(exposure)
+        else:
+            log_exposure = 0.0
+        outs = []
+        for i in range(3):
+            inp = log_radiances[:, i:i + 1] + log_exposure
+            outs.append(_mlp_apply(params["tonemappers"][i], inp,
+                                   out_act="sigmoid"))
+        return jnp.concatenate(outs, axis=1)
+
+    def forward(self, params, x, d, exposure=None, output_radiance=False,
+                window_alpha=None):
+        """(sigma, rgb) at positions x with view directions d.
+
+        Parity: networks.py:134-155.
+        """
+        sigmas, h = self.density(params, x, return_feat=True,
+                                 window_alpha=window_alpha)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        sh = sh_encode((d + 1.0) / 2.0, self.cfg.sh_degree)
+        inp = jnp.concatenate([sh, h], axis=1)
+        if self.cfg.rgb_act == "Sigmoid":
+            rgbs = _mlp_apply(params["rgb_mlp"], inp, out_act="sigmoid")
+        else:  # log-radiance head
+            rgbs = _mlp_apply(params["rgb_mlp"], inp)
+            if output_radiance:
+                rgbs = trunc_exp(rgbs)
+            else:
+                rgbs = self.log_radiance_to_rgb(params, rgbs,
+                                                exposure=exposure)
+        return sigmas, rgbs
+
+    __call__ = forward
+
+    # ----------------------------------------------------- occupancy helpers
+    def _cell_world_coords(self, coords, cascade, key=None):
+        """Morton cell coords -> jittered world positions in cascade's box.
+
+        Parity: networks.py:253-257.
+        """
+        g = self.cfg.grid_size
+        s = min(2 ** (cascade - 1), self.cfg.scale)
+        half_grid_size = s / g
+        xyzs = coords.astype(jnp.float32) / (g - 1) * 2.0 - 1.0
+        xyzs_w = xyzs * (s - half_grid_size)
+        if key is not None:
+            noise = jax.random.uniform(key, xyzs_w.shape, minval=-1.0,
+                                       maxval=1.0)
+            xyzs_w = xyzs_w + noise * half_grid_size
+        return xyzs_w
+
+    def all_cell_coords(self):
+        """(G^3, 3) integer coords of every cell in Morton storage order."""
+        return morton3d_invert(jnp.arange(self.cfg.n_cells, dtype=jnp.uint32))
+
+    def mark_invisible_cells(self, occ: OccupancyState, K, poses, img_wh,
+                             chunk=64 ** 3) -> OccupancyState:
+        """Mark cells seen by no camera with density -1 (frustum culling).
+
+        Runs once before training. Parity: networks.py:199-240 — a cell is
+        valid iff covered by >= 1 camera at depth >= NEAR_DISTANCE and not in
+        front of (closer than NEAR_DISTANCE to) any camera. Also fills
+        count_grid with the fraction of cameras covering each cell.
+        """
+        cfg = self.cfg
+        g = cfg.grid_size
+        w, h = int(img_wh[0]), int(img_wh[1])
+        K = jnp.asarray(K, jnp.float32)
+        poses = jnp.asarray(poses, jnp.float32)          # (N_cams, 3, 4)
+        w2c_r = jnp.transpose(poses[:, :3, :3], (0, 2, 1))
+        w2c_t = -jnp.einsum("nij,nj->ni", w2c_r, poses[:, :3, 3])
+        n_cams = poses.shape[0]
+
+        coords = self.all_cell_coords()                  # (G^3, 3)
+        xyzs = coords.astype(jnp.float32) / (g - 1) * 2.0 - 1.0
+
+        def per_cascade(c):
+            s = min(2 ** (c - 1), cfg.scale)
+            half_grid_size = s / g
+            xyzs_w = xyzs * (s - half_grid_size)          # (G^3, 3)
+
+            def body(chunk_xyz):
+                # (N_cams, chunk, 3)
+                xc = jnp.einsum("nij,kj->nki", w2c_r, chunk_xyz) + \
+                    w2c_t[:, None, :]
+                uvd = jnp.einsum("ij,nkj->nki", K, xc)
+                depth = uvd[..., 2]
+                uv = uvd[..., :2] / depth[..., None]
+                in_image = ((depth >= 0)
+                            & (uv[..., 0] >= 0) & (uv[..., 0] < w)
+                            & (uv[..., 1] >= 0) & (uv[..., 1] < h))
+                covered = (depth >= NEAR_DISTANCE) & in_image
+                count = covered.sum(0).astype(jnp.float32) / n_cams
+                too_near = ((depth < NEAR_DISTANCE) & in_image).any(0)
+                valid = (count > 0) & (~too_near)
+                return count, jnp.where(valid, 0.0, -1.0)
+
+            n_chunks = -(-cfg.n_cells // chunk)
+            xs = xyzs_w.reshape(n_chunks, -1, 3)
+            counts, grids = jax.lax.map(body, xs)
+            return counts.reshape(-1), grids.reshape(-1)
+
+        counts, grids = [], []
+        for c in range(cfg.cascades):
+            cnt, grd = per_cascade(c)
+            counts.append(cnt)
+            grids.append(grd)
+        return OccupancyState(
+            density_grid=jnp.stack(grids),
+            density_bitfield=occ.density_bitfield,
+            count_grid=jnp.stack(counts),
+        )
+
+    def update_density_grid(self, params, occ: OccupancyState, key,
+                            density_threshold, warmup=False, decay=0.95,
+                            erode=False) -> OccupancyState:
+        """Refresh the density grid from the live field and repack the
+        bitfield. Parity: networks.py:242-271.
+
+        warmup: evaluate every cell. Afterwards: M = G^3/4 uniformly random
+        cells + M cells drawn uniformly from currently-occupied cells (exact
+        inverse-CDF sampling; the reference uses nonzero()+randint which is
+        the same distribution with dynamic shapes).
+        """
+        cfg = self.cfg
+        n = cfg.n_cells
+        grid = occ.density_grid
+
+        def eval_cells(cascade, indices, coords, key):
+            xyzs_w = self._cell_world_coords(coords, cascade, key)
+            return self.density(params, xyzs_w)
+
+        tmp = jnp.zeros_like(grid)
+        if warmup:
+            coords = self.all_cell_coords()
+            for c in range(cfg.cascades):
+                key, sub = jax.random.split(key)
+                sig = eval_cells(c, None, coords, sub)
+                tmp = tmp.at[c].set(sig)
+        else:
+            m = n // 4
+            for c in range(cfg.cascades):
+                key, k1, k2, k3, k4 = jax.random.split(key, 5)
+                idx_uniform = jax.random.randint(k1, (m,), 0, n)
+                # exact uniform sampling over occupied cells via inverse CDF
+                occ_mask = (grid[c] > density_threshold).astype(jnp.float32)
+                csum = jnp.cumsum(occ_mask)
+                n_occ = csum[-1]
+                u = jax.random.uniform(k2, (m,)) * n_occ
+                idx_occupied = jnp.searchsorted(csum, u, side="right")
+                idx_occupied = jnp.clip(idx_occupied, 0, n - 1)
+                # if there are no occupied cells, fall back to the uniform set
+                idx_occupied = jnp.where(n_occ > 0, idx_occupied, idx_uniform)
+                indices = jnp.concatenate([idx_uniform, idx_occupied])
+                coords = morton3d_invert(indices.astype(jnp.uint32))
+                sig = eval_cells(c, indices, coords, k3)
+                tmp = tmp.at[c, indices].max(sig)
+        if erode:
+            # decay more the cells seen by few cameras (networks.py:260-262)
+            decay = jnp.clip(
+                jnp.asarray(decay, jnp.float32)
+                ** (1.0 / jnp.maximum(occ.count_grid, 1e-8)), 0.1, 0.95)
+        new_grid = jnp.where(grid < 0, grid, jnp.maximum(grid * decay, tmp))
+
+        pos = new_grid > 0
+        mean_density = jnp.where(pos, new_grid, 0.0).sum() / \
+            jnp.maximum(pos.sum(), 1)
+        threshold = jnp.minimum(mean_density, density_threshold)
+        bitfield = packbits(new_grid, threshold)
+        return OccupancyState(density_grid=new_grid,
+                              density_bitfield=bitfield,
+                              count_grid=occ.count_grid)
