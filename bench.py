@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (rays/sec/chip) on the Lego-class config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation: the reference trains Lego for 30k steps x 8192 rays in
+5m05s on one RTX 2080 Ti (README.md:71-73,124) = 805,600 rays/s of training
+throughput. vs_baseline is our rays/s divided by that number.
+
+No NeRF dataset ships in this environment, so the benchmark trains on a
+procedurally rendered multi-view scene (mfnerf_tpu/utils/procedural.py) at
+Lego's resolution (800x800) with the reference quickstart hyperparameters
+(Hash grid, L=16/F=2/T=19, batch 8192, grid 128^3, MAX_SAMPLES=1024). The
+occupancy grid is first converged with warmup updates so steady-state
+samples/ray is realistic.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--warmup_steps", type=int, default=300)
+    ap.add_argument("--batch_size", type=int, default=8192)
+    ap.add_argument("--wh", type=int, default=800)
+    ap.add_argument("--fps", action="store_true",
+                    help="also measure 800x800 render FPS (stderr)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mfnerf_tpu.datasets.memory import MemoryDataset
+    from mfnerf_tpu.train import NeRFSystem, UPDATE_INTERVAL, WARMUP_STEPS
+    from mfnerf_tpu.utils.procedural import make_scene
+
+    hp = argparse.Namespace(
+        root_dir="<memory>", dataset_name="nsvf", split="train",
+        downsample=1.0, scale=0.5, use_exposure=False, distortion_loss_w=0.0,
+        batch_size=args.batch_size, ray_sampling_strategy="all_images",
+        num_epochs=1, num_gpus=1, lr=1e-2, optimize_ext=False,
+        random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
+        exp_name="bench", ckpt_path=None, weight_path=None, grid="Hash",
+        L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
+        rgb_layers=2, seed=1337, s_max_train=128, s_max_test=256,
+        test_chunk=65536, lpips_weights=None, profile=False,
+        steps_per_epoch=1000, grid_size=128, max_samples=1024)
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
+    system = NeRFSystem(hp)
+    system.setup(MemoryDataset.from_scene(scene, "train"),
+                 MemoryDataset.from_scene(scene, "test"))
+    system.configure(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+
+    def run(n_steps, step0):
+        nonlocal key
+        metrics = None
+        for s in range(step0, step0 + n_steps):
+            if s % UPDATE_INTERVAL == 0:
+                key, sub = jax.random.split(key)
+                system.occ = system._update_grid(
+                    system.params, system.occ, sub, s < WARMUP_STEPS, False)
+            batch = system.train_dataset[s % 1000]
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            system.params, system.opt_state, metrics = system._train_step(
+                system.params, system.opt_state, system.occ, system.poses,
+                system.directions, batch, sub, s)
+        return metrics
+
+    # warmup: compile + converge the occupancy grid to steady state
+    m = run(args.warmup_steps, 0)
+    m = jax.device_get(m)
+    print(f"warmup done: psnr {float(m['psnr']):.2f} "
+          f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    m = run(args.steps, args.warmup_steps)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    rays_per_sec = args.steps * args.batch_size / dt
+    m = jax.device_get(m)
+    print(f"bench: {args.steps} steps in {dt:.2f}s "
+          f"({1e3 * dt / args.steps:.2f} ms/step), "
+          f"psnr {float(m['psnr']):.2f} rm_s {float(m['rm_s']):.1f} "
+          f"vr_s {float(m['vr_s']):.1f}", file=sys.stderr)
+
+    if args.fps:
+        from mfnerf_tpu.datasets.ray_utils import get_rays
+        from mfnerf_tpu.models.rendering import render_test
+        batch = system.test_dataset[0]
+        rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
+                                  jnp.asarray(batch["pose"]))
+        res = render_test(system.model, system.params, system.occ, rays_o,
+                          rays_d, system.rcfg)  # compile
+        jax.block_until_ready(res["rgb"])
+        t0 = time.perf_counter()
+        n_frames = 5
+        for _ in range(n_frames):
+            res = render_test(system.model, system.params, system.occ,
+                              rays_o, rays_d, system.rcfg)
+            jax.block_until_ready(res["rgb"])
+        fps = n_frames / (time.perf_counter() - t0)
+        print(f"render fps ({args.wh}x{args.wh}): {fps:.2f}",
+              file=sys.stderr)
+
+    baseline = 805_600.0  # reference Lego training rays/s (2080 Ti)
+    print(json.dumps({
+        "metric": "train_rays_per_sec_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Training losses: per-ray MSE, opacity entropy, mip-NeRF-360 distortion.
+
+Parity with the reference losses.py:40-60 (NeRFLoss) and the CUDA
+distortion-loss kernels (models/csrc/losses.cu, DVGO-v2 closed form from
+arXiv 2206.05085 of the mip-NeRF-360 loss, arXiv 2111.12077).
+
+The distortion loss's inclusive/exclusive prefix-scan formulation maps 1:1
+onto jnp.cumsum over the padded (N_rays, S) sample rows, and its hand-written
+CUDA backward (losses.cu:112-175) is replaced by JAX autodiff through the
+scans.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def distortion_loss(ws, deltas, ts, mask):
+    """Per-ray distortion loss over padded sample rows.
+
+    L = sum_{i,j} w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 delta_i, evaluated
+    with the sorted-prefix-sum identity (ts are treated as interval midpoints
+    exactly as the reference does, losses.py:12-15):
+    pairwise term = 2 * sum_i w_i (m_i * csum_{j<i} w_j - csum_{j<i} w_j m_j).
+
+    Args:
+        ws: (N, S) sample weights.
+        deltas, ts: (N, S).
+        mask: (N, S) validity.
+    Returns:
+        (N,) per-ray loss.
+    """
+    w = jnp.where(mask, ws, 0.0)
+    m = ts
+    wm = w * m
+    w_excl = jnp.cumsum(w, axis=1) - w
+    wm_excl = jnp.cumsum(wm, axis=1) - wm
+    pair = 2.0 * (w * (m * w_excl - wm_excl)).sum(axis=1)
+    uni = (w * w * deltas).sum(axis=1) / 3.0
+    return pair + uni
+
+
+class NeRFLoss:
+    """Loss dict {rgb, opacity[, distortion]}; parity: losses.py:40-60."""
+
+    def __init__(self, lambda_opacity=1e-3, lambda_distortion=1e-3):
+        self.lambda_opacity = lambda_opacity
+        self.lambda_distortion = lambda_distortion
+
+    def __call__(self, results, target):
+        d = {}
+        d["rgb"] = (results["rgb"] - target["rgb"]) ** 2
+
+        o = results["opacity"] + 1e-10
+        # encourage opacity to be 0 or 1 to avoid floaters
+        d["opacity"] = self.lambda_opacity * (-o * jnp.log(o))
+
+        if self.lambda_distortion > 0:
+            d["distortion"] = self.lambda_distortion * distortion_loss(
+                results["ws"], results["deltas"], results["ts"],
+                results["mask"])
+        return d

@@ -77,7 +77,7 @@ class NGPConfig:
         return self.grid_size ** 3
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 @dataclasses.dataclass
 class OccupancyState:
     """Occupancy-grid buffers (reference buffers density_grid/density_bitfield/
@@ -86,8 +86,11 @@ class OccupancyState:
     density_bitfield: jnp.ndarray  # (C*G^3//8,) uint8
     count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
 
-    def tree_flatten(self):
-        return (self.density_grid, self.density_bitfield, self.count_grid), None
+    def tree_flatten_with_keys(self):
+        return ((jax.tree_util.GetAttrKey("density_grid"), self.density_grid),
+                (jax.tree_util.GetAttrKey("density_bitfield"),
+                 self.density_bitfield),
+                (jax.tree_util.GetAttrKey("count_grid"), self.count_grid)), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -1,0 +1,180 @@
+"""Rendering dispatch: train and test ray rendering pipelines.
+
+TPU-native re-design of reference models/rendering.py. The train path is one
+fused jit region: AABB intersect -> t-ladder march -> field eval -> scan
+compositing -> background blend. The test path reuses the same static-shape
+machinery chunk-by-chunk (the reference's dynamic "alive rays" loop with its
+mutable hits_t cursor is replaced by masked incremental compositing; see
+render_test for the performance notes).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.composite import composite_train
+from ..ops.intersection import ray_aabb_intersect_single
+from ..ops.ray_march import march_rays_train
+from ..ops.stepping import max_ladder_steps
+
+MAX_SAMPLES = 1024     # reference rendering.py:7
+NEAR_DISTANCE = 0.01   # reference rendering.py:8
+SQRT3 = 1.7320508075688772
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering knobs (hashable -> usable as a jit constant)."""
+    exp_step_factor: float = 0.0   # 0 synthetic, 1/256 real (train.py:100-101)
+    T_threshold: float = 1e-4
+    max_samples: int = MAX_SAMPLES
+    s_max_train: int = 128         # padded per-ray sample budget (train)
+    s_max_test: int = 256          # padded per-ray sample budget (test)
+    random_bg: bool = False
+    test_chunk: int = 16384
+
+    def n_rungs(self, scale: float, grid_size: int = 128,
+                test: bool = False) -> int:
+        """Static ladder length covering the whole scene AABB."""
+        t_end = 2.0 * SQRT3 * scale + NEAR_DISTANCE
+        dt_scale = self._dt_scale(scale, test)
+        k = max_ladder_steps(NEAR_DISTANCE, t_end, self.exp_step_factor,
+                             self.max_samples, grid_size, dt_scale)
+        return min(k, 4 * self.max_samples)
+
+    def _dt_scale(self, scale, test):
+        # bug parity: the reference test kernel passes `cascades` where
+        # calc_dt expects `scale` (raymarching.cu:370,399)
+        if test:
+            import math
+            return max(1 + int(math.ceil(math.log2(2 * scale))), 1)
+        return scale
+
+
+def _clamp_near(hits_t):
+    """Clamp t_near into [NEAR_DISTANCE, inf) for hitting rays.
+
+    Parity: rendering.py:29.
+    """
+    t1 = hits_t[:, 0]
+    t1 = jnp.where((t1 >= 0) & (t1 < NEAR_DISTANCE), NEAR_DISTANCE, t1)
+    return hits_t.at[:, 0].set(t1)
+
+
+def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
+                 exposure=None):
+    """Differentiable train-time rendering of a ray batch.
+
+    Parity: reference render() + __render_rays_train (rendering.py:12-43,
+    121-163). Returns a dict with rgb/opacity/depth/ws/deltas/ts/mask and the
+    rm_samples/vr_samples telemetry counters.
+    """
+    cfg = model.cfg
+    hits_t = ray_aabb_intersect_single(
+        rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
+    hits_t = _clamp_near(hits_t)
+
+    key_noise, key_bg = jax.random.split(key)
+    noise = jax.random.uniform(key_noise, (rays_o.shape[0],))
+    mr = march_rays_train(
+        rays_o, rays_d, hits_t, occ.density_bitfield, cfg.cascades,
+        cfg.scale, rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+        noise, rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train)
+
+    n, s = mr.ts.shape
+    xyz_flat = mr.xyzs.reshape(n * s, 3)
+    dir_flat = jnp.broadcast_to(mr.dirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+    exp_flat = None
+    if exposure is not None:
+        exp_flat = jnp.broadcast_to(exposure[:, None, :],
+                                    (n, s, 1)).reshape(-1, 1)
+    sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exp_flat)
+    sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
+    rgbs = rgbs.reshape(n, s, 3)
+
+    comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+                           rcfg.T_threshold)
+
+    if rcfg.exp_step_factor == 0:  # synthetic scenes: white background
+        rgb_bg = jnp.ones(3)
+    elif rcfg.random_bg:
+        rgb_bg = jax.random.uniform(key_bg, (3,))
+    else:
+        rgb_bg = jnp.zeros(3)
+    rgb = comp.rgb + rgb_bg * (1.0 - comp.opacity)[:, None]
+
+    return {
+        "rgb": rgb, "opacity": comp.opacity, "depth": comp.depth,
+        "ws": comp.ws, "deltas": mr.deltas, "ts": mr.ts, "mask": mr.mask,
+        "rm_samples": mr.rm_samples, "vr_samples": comp.vr_samples,
+        "total_samples": mr.rm_samples,
+    }
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg):
+    """One test chunk: march everything, eval, composite (no grad)."""
+    cfg = model.cfg
+    hits_t = ray_aabb_intersect_single(
+        rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
+    hits_t = _clamp_near(hits_t)
+    noise = jnp.zeros((rays_o.shape[0],))  # test marching is unjittered
+    mr = march_rays_train(
+        rays_o, rays_d, hits_t, occ.density_bitfield, cfg.cascades,
+        cfg.scale, rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+        noise, rcfg.n_rungs(cfg.scale, cfg.grid_size, test=True),
+        rcfg.s_max_test, dt_scale=rcfg._dt_scale(cfg.scale, True))
+
+    n, s = mr.ts.shape
+    # sigma pass on every padded sample; rgb only where it can contribute
+    xyz_flat = mr.xyzs.reshape(n * s, 3)
+    dir_flat = jnp.broadcast_to(mr.dirs[:, None, :], (n, s, 3)).reshape(-1, 3)
+    sigmas, rgbs = model(params, xyz_flat, dir_flat)
+    sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
+    rgbs = rgbs.reshape(n, s, 3)
+    comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+                           rcfg.T_threshold)
+    return comp.rgb, comp.opacity, comp.depth, comp.vr_samples
+
+
+def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig):
+    """Full-image test rendering, chunked to bound memory.
+
+    Parity target: __render_rays_test (rendering.py:46-118). The alive-ray
+    loop is an optimization, not a semantic: with the t-ladder march the
+    sample set is identical, so compositing all samples with the
+    T-threshold inclusion mask gives the same image.
+    """
+    n_rays = rays_o.shape[0]
+    chunk = rcfg.test_chunk
+    outs = []
+    total_samples = 0
+    for i in range(0, n_rays, chunk):
+        ro, rd = rays_o[i:i + chunk], rays_d[i:i + chunk]
+        pad = 0
+        if ro.shape[0] < chunk:
+            pad = chunk - ro.shape[0]
+            ro = jnp.pad(ro, ((0, pad), (0, 0)))
+            rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        rgb, opacity, depth, vr = _render_test_chunk(
+            model, params, occ, ro, rd, rcfg)
+        if pad:
+            rgb, opacity, depth = rgb[:-pad], opacity[:-pad], depth[:-pad]
+        outs.append((rgb, opacity, depth))
+        total_samples += int(vr)
+
+    rgb = jnp.concatenate([o[0] for o in outs])
+    opacity = jnp.concatenate([o[1] for o in outs])
+    depth = jnp.concatenate([o[2] for o in outs])
+
+    if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
+        rgb_bg = jnp.ones(3)
+    else:
+        rgb_bg = jnp.zeros(3)
+    rgb = rgb + rgb_bg * (1.0 - opacity)[:, None]
+    return {"rgb": rgb, "opacity": opacity, "depth": depth,
+            "total_samples": total_samples}

@@ -1,0 +1,105 @@
+"""Front-to-back volume compositing as differentiable scans — pure jnp.
+
+TPU-native replacement for the reference CUDA kernels ``composite_train_fw``
+/ ``composite_train_bw`` (models/csrc/volumerendering.cu:7-202) and
+``composite_test_fw`` (:206-285).
+
+Reformulation: per-ray sequential compositing is an exclusive cumulative
+product of (1 - alpha) — an associative scan. The hand-derived CUDA backward
+(suffix accumulators + thrust scans) becomes plain JAX autodiff through the
+cumprod; early termination becomes the inclusion mask ``T > T_threshold``
+which matches the reference's break semantics exactly: a sample contributes
+iff the transmittance BEFORE it still exceeds the threshold
+(volumerendering.cu:28-43 adds the sample, then breaks).
+
+Inputs are the padded (N_rays, S) rows produced by ops/ray_march.py; the
+reference's ``rays_a`` CSR segments disappear.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class CompositeResults(NamedTuple):
+    opacity: jnp.ndarray      # (N,)
+    depth: jnp.ndarray        # (N,)
+    rgb: jnp.ndarray          # (N, 3)
+    ws: jnp.ndarray           # (N, S) per-sample weights
+    vr_samples: jnp.ndarray   # () int32 total composited samples (train/vr_s)
+
+
+def composite_train(sigmas, rgbs, deltas, ts, mask, T_threshold=1e-4):
+    """Composite padded sample rows front-to-back.
+
+    Args:
+        sigmas: (N, S) densities.
+        rgbs: (N, S, 3) colors.
+        deltas: (N, S) integration steps.
+        ts: (N, S) sample distances.
+        mask: (N, S) bool sample validity (invalid rungs contribute nothing).
+        T_threshold: stop compositing when transmittance drops below this
+            (1e-4 train / configurable test, reference rendering.py:103,150).
+
+    Returns:
+        :class:`CompositeResults`. Fully differentiable wrt sigmas/rgbs.
+    """
+    sigmas = sigmas.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+    alpha = jnp.where(mask, 1.0 - jnp.exp(-sigmas * deltas), 0.0)  # (N,S)
+    one_minus = 1.0 - alpha
+    # exclusive cumprod: T before each sample
+    t_excl = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_minus[:, :1]),
+                         one_minus[:, :-1]], axis=1), axis=1)
+    include = (t_excl > T_threshold) & mask
+    w = jnp.where(include, alpha * t_excl, 0.0)
+
+    opacity = w.sum(axis=1)
+    depth = (w * ts).sum(axis=1)
+    rgb = (w[..., None] * rgbs.astype(jnp.float32)).sum(axis=1)
+    vr_samples = include.sum()
+    return CompositeResults(opacity=opacity, depth=depth, rgb=rgb, ws=w,
+                            vr_samples=vr_samples)
+
+
+def composite_test_step(sigmas, rgbs, deltas, ts, mask, opacity, depth, rgb,
+                        alive, T_threshold):
+    """One incremental compositing round for the alive-ray test renderer.
+
+    Resumes each ray from its accumulated transmittance ``1 - opacity`` and
+    folds a new block of samples into the persistent per-ray accumulators.
+    Parity: composite_test_fw (volumerendering.cu:206-249); returning
+    ``alive=False`` replaces the kernel's ``alive_indices[n] = -1``.
+
+    Args:
+        sigmas, rgbs, deltas, ts, mask: (N, S[,3]) new sample block.
+        opacity, depth, rgb: (N,), (N,), (N,3) running accumulators.
+        alive: (N,) bool rays still marching.
+        T_threshold: convergence threshold.
+
+    Returns:
+        (opacity, depth, rgb, alive) updated.
+    """
+    mask = mask & alive[:, None]
+    alpha = jnp.where(mask, 1.0 - jnp.exp(
+        -sigmas.astype(jnp.float32) * deltas.astype(jnp.float32)), 0.0)
+    one_minus = 1.0 - alpha
+    t_start = (1.0 - opacity)[:, None]
+    t_excl = t_start * jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_minus[:, :1]),
+                         one_minus[:, :-1]], axis=1), axis=1)
+    include = (t_excl > T_threshold) & mask
+    w = jnp.where(include, alpha * t_excl, 0.0)
+
+    opacity = opacity + w.sum(axis=1)
+    depth = depth + (w * ts).sum(axis=1)
+    rgb = rgb + (w[..., None] * rgbs.astype(jnp.float32)).sum(axis=1)
+
+    # a ray dies here when it converged (T <= threshold); the caller
+    # additionally kills rays whose sample supply is exhausted (the
+    # reference's N_eff_samples == 0 case, volumerendering.cu:222-225)
+    t_final = t_excl[:, -1] * one_minus[:, -1]
+    alive = alive & (t_final > T_threshold)
+    return opacity, depth, rgb, alive

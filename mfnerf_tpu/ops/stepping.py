@@ -83,9 +83,11 @@ def t_ladder(t0, ks, exp_step_factor, max_samples, grid_size, scale):
     e = exp_step_factor
 
     t0 = t0.astype(jnp.float32)
-    if t0.ndim == 1 and jnp.ndim(ks) == 1:
-        t0 = t0[:, None]
-        ks = ks[None, :]
+    ks = jnp.asarray(ks)
+    if t0.ndim == 1:
+        t0 = t0[:, None]           # (N, 1)
+        if ks.ndim == 1:
+            ks = ks[None, :]       # (1, K); 2-D ks is already (N, K)
     ks = ks.astype(jnp.float32)
 
     if e == 0.0:

@@ -1,0 +1,367 @@
+"""Training orchestration: the TPU-native equivalent of the reference
+NeRFSystem (train.py:56-248) + __main__ (train.py:251-311).
+
+pytorch-lightning / DDP / apex / torchmetrics are replaced by a plain jitted
+train step (optax Adam, cosine-staircase LR), on-device occupancy updates
+every 16 steps, a numpy ray sampler, and tensorboardX logging under the same
+tag names. Data parallelism uses a jax.sharding mesh (see parallel/mesh.py)
+instead of NCCL DDP.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .datasets import dataset_dict
+from .datasets.ray_utils import axisangle_to_R, get_rays
+from .losses import NeRFLoss
+from .models.ngp import NGP, NGPConfig, OccupancyState
+from .models.rendering import (MAX_SAMPLES, RenderConfig, render_test,
+                               render_train)
+from .parallel.mesh import make_mesh, replicate, shard_batch
+from .utils.ckpt import load_ckpt, save_ckpt, slim_ckpt
+from .utils.metrics import psnr as psnr_fn
+from .utils.metrics import ssim as ssim_fn
+
+WARMUP_STEPS = 256        # reference train.py:61
+UPDATE_INTERVAL = 16      # reference train.py:62
+STEPS_PER_EPOCH = 1000    # reference base.py:17-20
+
+
+def depth2img(depth):
+    """Colorize a depth map (TURBO colormap). Parity: train.py:48-53."""
+    import cv2
+    depth = (depth - depth.min()) / (depth.max() - depth.min() + 1e-8)
+    return cv2.applyColorMap((depth * 255).astype(np.uint8),
+                             cv2.COLORMAP_TURBO)
+
+
+def cosine_staircase_lr(lr0, num_epochs, steps_per_epoch=STEPS_PER_EPOCH):
+    """CosineAnnealingLR(T_max=num_epochs-1, eta_min=lr0*0.01) stepped per
+    epoch (PL steps schedulers per epoch). Parity: train.py:140-142."""
+    eta_min = lr0 * 0.01
+    t_max = max(num_epochs - 1, 1)
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, t_max)
+        return eta_min + 0.5 * (lr0 - eta_min) * (
+            1 + jnp.cos(jnp.pi * epoch / t_max))
+
+    return schedule
+
+
+class NeRFSystem:
+    def __init__(self, hparams):
+        self.hparams = hparams
+        self.model_cfg = NGPConfig(
+            scale=hparams.scale, grid=hparams.grid, L=hparams.L, F=hparams.F,
+            log2_T=hparams.T, N_min=hparams.N_min, N_max=hparams.N_max,
+            N_tables=hparams.N_tables, rgb_channels=hparams.rgb_channels,
+            rgb_layers=hparams.rgb_layers,
+            rgb_act="None" if hparams.use_exposure else "Sigmoid",
+            grid_size=getattr(hparams, "grid_size", 128))
+        self.model = NGP(self.model_cfg)
+        self.rcfg = RenderConfig(
+            exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
+            random_bg=hparams.random_bg,
+            max_samples=getattr(hparams, "max_samples", MAX_SAMPLES),
+            s_max_train=hparams.s_max_train,
+            s_max_test=hparams.s_max_test,
+            test_chunk=hparams.test_chunk)
+        self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
+        self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
+        self.mesh = make_mesh(hparams.num_gpus)
+        self.steps_per_epoch = getattr(hparams, "steps_per_epoch",
+                                       STEPS_PER_EPOCH)
+
+    # ------------------------------------------------------------------ data
+    def setup(self, train_dataset=None, test_dataset=None):
+        hp = self.hparams
+        if train_dataset is None:
+            dataset = dataset_dict[hp.dataset_name]
+            kwargs = {"root_dir": hp.root_dir, "downsample": hp.downsample}
+            train_dataset = dataset(split=hp.split, **kwargs)
+            test_dataset = dataset(split="test", **kwargs)
+        self.train_dataset = train_dataset
+        self.train_dataset.batch_size = hp.batch_size
+        self.train_dataset.ray_sampling_strategy = hp.ray_sampling_strategy
+        self.train_dataset.seed(hp.seed)
+        self.test_dataset = test_dataset
+
+    # ----------------------------------------------------------------- state
+    def configure(self, key):
+        hp = self.hparams
+        self.params = self.model.init(key)
+        self.occ = OccupancyState.create(self.model_cfg)
+        self.poses = jnp.asarray(self.train_dataset.poses)
+        self.directions = jnp.asarray(self.train_dataset.directions)
+        if hp.optimize_ext:
+            n = len(self.train_dataset.poses)
+            self.params["dR"] = jnp.zeros((n, 3))
+            self.params["dT"] = jnp.zeros((n, 3))
+
+        if hp.weight_path:  # partial warm start (reference train.py:129)
+            loaded = load_ckpt(hp.weight_path, like={"params": self.params})
+            self.params = loaded["params"]
+
+        self.lr_schedule = cosine_staircase_lr(hp.lr, hp.num_epochs,
+                                               self.steps_per_epoch)
+
+        def label_fn(params):
+            return {k: ("ext" if k in ("dR", "dT") else "net")
+                    for k in params}
+
+        tx_net = optax.adam(self.lr_schedule, eps=1e-15)
+        tx_ext = optax.adam(1e-6)  # hard-coded ext lr (train.py:139)
+        self.tx = optax.multi_transform(
+            {"net": tx_net, "ext": tx_ext}, label_fn)
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        hp = self.hparams
+        model, rcfg, loss_mod = self.model, self.rcfg, self.loss
+        use_exposure = hp.use_exposure
+        optimize_ext = hp.optimize_ext
+        unit_exposure_rgb = getattr(self.train_dataset, "unit_exposure_rgb",
+                                    None)
+
+        def forward_train(params, occ, poses, directions, batch, key):
+            pose = poses[batch["img_idxs"]]
+            dirs = directions[batch["pix_idxs"]]
+            if optimize_ext:
+                dr = axisangle_to_R(params["dR"][batch["img_idxs"]])
+                pose = pose.at[..., :3].set(dr @ pose[..., :3])
+                pose = pose.at[..., 3].add(params["dT"][batch["img_idxs"]])
+            rays_o, rays_d = get_rays(dirs, pose)
+            exposure = batch.get("exposure")
+            return render_train(model, params, occ, rays_o, rays_d, key,
+                                rcfg, exposure=exposure)
+
+        def loss_fn(params, occ, poses, directions, batch, key):
+            results = forward_train(params, occ, poses, directions, batch,
+                                    key)
+            loss_d = loss_mod(results, batch)
+            if use_exposure:
+                zero_rad = jnp.zeros((1, 3))
+                unit_rgb = model.log_radiance_to_rgb(
+                    params, zero_rad, exposure=jnp.ones((1, 1)))
+                loss_d["unit_exposure"] = 0.5 * (
+                    unit_rgb - unit_exposure_rgb) ** 2
+            loss = sum(v.mean() for v in loss_d.values())
+            aux = {
+                "rgb": results["rgb"],
+                "rm_samples": results["rm_samples"],
+                "vr_samples": results["vr_samples"],
+            }
+            return loss, aux
+
+        def train_step(params, opt_state, occ, poses, directions, batch, key,
+                       step):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, occ, poses, directions, batch, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": loss,
+                "psnr": psnr_fn(aux["rgb"], batch["rgb"]),
+                "rm_s": aux["rm_samples"] / batch["rgb"].shape[0],
+                "vr_s": aux["vr_samples"] / batch["rgb"].shape[0],
+                "lr": self.lr_schedule(step),
+            }
+            return params, opt_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def update_grid(params, occ, key, warmup, erode):
+            return model.update_density_grid(
+                params, occ, key, self.density_threshold, warmup=warmup,
+                erode=erode)
+
+        self._update_grid = jax.jit(update_grid, static_argnums=(3, 4),
+                                    donate_argnums=(1,))
+
+    # ------------------------------------------------------------- main loop
+    def fit(self, log_dir=None, writer=None):
+        hp = self.hparams
+        erode = hp.dataset_name == "colmap"
+        key = jax.random.PRNGKey(hp.seed)
+
+        if self.mesh is not None:  # replicate state across the data mesh
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+            self.occ = replicate(self.occ, self.mesh)
+            self.poses = replicate(self.poses, self.mesh)
+            self.directions = replicate(self.directions, self.mesh)
+
+        # frustum culling once before training (train.py:159-162)
+        self.occ = jax.jit(
+            self.model.mark_invisible_cells, static_argnums=(3,))(
+                self.occ, jnp.asarray(self.train_dataset.K), self.poses,
+                tuple(self.train_dataset.img_wh))
+
+        total_steps = hp.num_epochs * self.steps_per_epoch
+        t0 = time.time()
+        for step in range(self.global_step, total_steps):
+            if step % UPDATE_INTERVAL == 0:
+                key, sub = jax.random.split(key)
+                self.occ = self._update_grid(
+                    self.params, self.occ, sub, step < WARMUP_STEPS, erode)
+
+            batch = self.train_dataset[step % self.steps_per_epoch]
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = shard_batch(batch, self.mesh)
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, self.occ, self.poses,
+                self.directions, batch, sub, step)
+
+            self.global_step = step + 1
+            if writer is not None and (step % 100 == 0
+                                       or step == total_steps - 1):
+                m = jax.device_get(metrics)
+                writer.add_scalar("lr", float(m["lr"]), step)
+                writer.add_scalar("train/loss", float(m["loss"]), step)
+                writer.add_scalar("train/rm_s", float(m["rm_s"]), step)
+                writer.add_scalar("train/vr_s", float(m["vr_s"]), step)
+                writer.add_scalar("train/psnr", float(m["psnr"]), step)
+            if step % 1000 == 0:
+                m = jax.device_get(metrics)
+                dt = time.time() - t0
+                print(f"step {step:6d}/{total_steps} "
+                      f"loss {float(m['loss']):.4f} "
+                      f"psnr {float(m['psnr']):.2f} "
+                      f"rm_s {float(m['rm_s']):.1f} "
+                      f"vr_s {float(m['vr_s']):.1f} "
+                      f"[{dt:.0f}s]", flush=True)
+        return time.time() - t0
+
+    # ------------------------------------------------------------ validation
+    def validate(self, save_dir=None, writer=None, eval_lpips=False):
+        hp = self.hparams
+        w, h = self.test_dataset.img_wh
+        psnrs, ssims, lpipss = [], [], []
+        n_imgs = len(self.test_dataset)
+        for i in range(n_imgs):
+            batch = self.test_dataset[i]
+            rays_o, rays_d = get_rays(
+                jnp.asarray(self.test_dataset.directions),
+                jnp.asarray(batch["pose"]))
+            results = render_test(self.model, self.params, self.occ,
+                                  rays_o, rays_d, self.rcfg)
+            rgb_pred = np.asarray(results["rgb"]).reshape(h, w, 3)
+            logs = {}
+            if "rgb" in batch:
+                rgb_gt = np.asarray(batch["rgb"]).reshape(h, w, 3)
+                logs["psnr"] = float(psnr_fn(jnp.asarray(rgb_pred),
+                                             jnp.asarray(rgb_gt)))
+                logs["ssim"] = float(ssim_fn(jnp.asarray(rgb_pred),
+                                             jnp.asarray(rgb_gt)))
+                psnrs.append(logs["psnr"])
+                ssims.append(logs["ssim"])
+            if save_dir is not None:
+                import imageio.v2 as imageio
+                idx = batch["img_idxs"]
+                imageio.imsave(
+                    os.path.join(save_dir, f"{idx:03d}.png"),
+                    (rgb_pred * 255).astype(np.uint8))
+                depth = np.asarray(results["depth"]).reshape(h, w)
+                imageio.imsave(os.path.join(save_dir, f"{idx:03d}_d.png"),
+                               depth2img(depth))
+            print(f"val image {i + 1}/{n_imgs}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in logs.items()), flush=True)
+
+        out = {}
+        if psnrs:
+            out["test/psnr"] = float(np.mean(psnrs))
+            out["test/ssim"] = float(np.mean(ssims))
+        if lpipss:
+            out["test/lpips_vgg"] = float(np.mean(lpipss))
+        if writer is not None:
+            for k, v in out.items():
+                writer.add_scalar(k, v, self.global_step)
+        return out
+
+
+def main(hparams):
+    t_start = time.time()
+    np.random.seed(hparams.seed)
+
+    if hparams.val_only and (not hparams.ckpt_path):
+        raise ValueError("You need to provide a @ckpt_path for validation!")
+
+    system = NeRFSystem(hparams)
+    system.setup()
+    system.configure(jax.random.PRNGKey(hparams.seed))
+
+    ckpt_dir = f"ckpts/{hparams.dataset_name}/{hparams.exp_name}"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    log_dir = f"logs/{hparams.dataset_name}/{hparams.exp_name}"
+    os.makedirs(log_dir, exist_ok=True)
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(log_dir)
+    except ImportError:
+        pass
+
+    if hparams.ckpt_path:
+        loaded = load_ckpt(hparams.ckpt_path, like={
+            "params": system.params, "occ": system.occ,
+            "opt_state": system.opt_state})
+        system.params = loaded["params"]
+        if "occ" in loaded:
+            system.occ = loaded["occ"]
+        if "opt_state" in loaded and not hparams.val_only:
+            system.opt_state = loaded["opt_state"]
+        system.global_step = loaded["step"]
+
+    if not hparams.val_only:
+        train_time = system.fit(log_dir=log_dir, writer=writer)
+        print(f"training took {train_time:.1f}s")
+        ckpt_path = os.path.join(ckpt_dir,
+                                 f"epoch={hparams.num_epochs - 1}.ckpt.npz")
+        save_ckpt(ckpt_path, system.params, occ=system.occ,
+                  opt_state=system.opt_state, step=system.global_step,
+                  poses=system.poses if hparams.optimize_ext else None)
+        slim_ckpt(ckpt_path,
+                  os.path.join(ckpt_dir,
+                               f"epoch={hparams.num_epochs - 1}_slim.ckpt.npz"),
+                  save_poses=hparams.optimize_ext)
+
+    save_dir = None
+    if not hparams.no_save_test:
+        save_dir = f"results/{hparams.dataset_name}/{hparams.exp_name}"
+        os.makedirs(save_dir, exist_ok=True)
+    metrics = system.validate(save_dir=save_dir, writer=writer,
+                              eval_lpips=hparams.eval_lpips)
+    for k, v in metrics.items():
+        print(f"{k}: {v:.4f}")
+
+    # mp4 assembly for NSVF synthetic scenes (reference train.py:298-307)
+    if (not hparams.no_save_test) and hparams.dataset_name == "nsvf" \
+            and "Synthetic" in hparams.root_dir:
+        try:
+            import imageio.v2 as imageio
+            imgs = sorted(glob.glob(os.path.join(save_dir, "*.png")))
+            imageio.mimsave(os.path.join(save_dir, "rgb.mp4"),
+                            [imageio.imread(img) for img in imgs
+                             if not img.endswith("_d.png")], fps=30)
+            imageio.mimsave(os.path.join(save_dir, "depth.mp4"),
+                            [imageio.imread(img) for img in imgs
+                             if img.endswith("_d.png")], fps=30)
+        except Exception as e:  # ffmpeg may be unavailable
+            print(f"video assembly skipped: {e}")
+
+    runtime = time.strftime("%H:%M:%S", time.gmtime(time.time() - t_start))
+    print(f"Total runtime: {runtime}")
+    return metrics

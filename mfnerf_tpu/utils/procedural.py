@@ -1,0 +1,124 @@
+"""Procedural multi-view scene generator for tests and benchmarks.
+
+No NeRF datasets ship with this environment, so end-to-end tests and bench.py
+train against an analytically-rendered scene: a lambertian-ish sphere (color
+= shaded normal) over a white background, viewed from cameras on a ring —
+the same camera conventions as the Blender/NSVF loaders ([right down front],
+radius 1.5, scene inside [-0.5, 0.5]^3).
+
+Can also materialize the scene on disk in NSVF format (bbox.txt,
+intrinsics.txt, rgb/, pose/) to exercise the real dataset loaders.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..datasets.ray_utils import get_ray_directions
+
+
+def _look_at_pose(position):
+    """c2w with camera at `position` looking at the origin, [right down front]."""
+    forward = -position / np.linalg.norm(position)          # +z: front
+    up_world = np.array([0.0, 0.0, 1.0])
+    if abs(forward @ up_world) > 0.99:
+        up_world = np.array([0.0, 1.0, 0.0])
+    right = np.cross(-up_world, forward)
+    right /= np.linalg.norm(right)
+    down = np.cross(forward, right)
+    c2w = np.stack([right, down, forward, position], axis=1)
+    return c2w.astype(np.float32)
+
+
+def _render_gt(rays_o, rays_d, radius=0.35, center=(0.0, 0.0, 0.0)):
+    """Analytic render: shaded sphere on white background."""
+    center = np.asarray(center, np.float32)
+    d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    co = rays_o - center
+    b = (d * co).sum(-1)
+    c = (co * co).sum(-1) - radius ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit &= t > 0
+    p = rays_o + t[:, None] * d
+    n = (p - center) / radius
+    shade = np.clip(n @ np.array([0.3, -0.5, 0.8]), 0.0, 1.0)[:, None]
+    color = (0.5 + 0.5 * n) * (0.4 + 0.6 * shade)
+    img = np.ones_like(rays_o)
+    img[hit] = np.clip(color[hit], 0, 1)
+    return img.astype(np.float32)
+
+
+def make_scene(n_train=20, n_test=2, wh=64, cam_radius=1.5, fov_scale=1.0,
+               sphere_radius=0.35, seed=0):
+    """Build an in-memory dataset dict for training/eval.
+
+    Returns dict(poses, test_poses, K, directions, images (N, wh*wh, 3),
+    test_images, img_wh).
+    """
+    rng = np.random.default_rng(seed)
+    f = wh * fov_scale  # ~53 deg fov
+    K = np.float32([[f, 0, wh / 2], [0, f, wh / 2], [0, 0, 1]])
+    directions = get_ray_directions(wh, wh, K)
+
+    def sample_poses(n, offset=0.0):
+        poses = []
+        for i in range(n):
+            theta = 2 * np.pi * (i + offset) / n
+            phi = np.deg2rad(25 + 25 * rng.random())
+            pos = cam_radius * np.array([
+                np.cos(theta) * np.cos(phi),
+                np.sin(theta) * np.cos(phi),
+                np.sin(phi)], dtype=np.float32)
+            poses.append(_look_at_pose(pos))
+        return np.stack(poses)
+
+    poses = sample_poses(n_train)
+    test_poses = sample_poses(n_test, offset=0.37)
+
+    def render_all(pose_set):
+        imgs = []
+        for c2w in pose_set:
+            rays_d = directions @ c2w[:, :3].T
+            rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)
+            imgs.append(_render_gt(rays_o, rays_d, sphere_radius))
+        return np.stack(imgs)
+
+    return {
+        "poses": poses, "test_poses": test_poses, "K": K,
+        "directions": directions, "images": render_all(poses),
+        "test_images": render_all(test_poses), "img_wh": (wh, wh),
+    }
+
+
+def write_nsvf_scene(root, scene=None, **kwargs):
+    """Materialize a procedural scene on disk in NSVF layout (for loader
+    integration tests): bbox.txt, intrinsics.txt, rgb/{0_,2_}*.png, pose/."""
+    import imageio.v2 as imageio
+
+    scene = scene or make_scene(**kwargs)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "pose"), exist_ok=True)
+    w, h = scene["img_wh"]
+    # scene fits inside the sphere bbox; NSVF shifts/scales it to [-.5,.5]
+    np.savetxt(os.path.join(root, "bbox.txt"),
+               np.array([[-0.5, -0.5, -0.5, 0.5, 0.5, 0.5, 0.01]]))
+    with open(os.path.join(root, "intrinsics.txt"), "w") as f:
+        fx = scene["K"][0, 0]
+        f.write(f"{fx} 0 {w / 2} 0\n0 {fx} {h / 2} 0\n0 0 1 0\n0 0 0 1\n")
+
+    def dump(prefix, poses, images):
+        for i, (pose, img) in enumerate(zip(poses, images)):
+            imageio.imsave(
+                os.path.join(root, "rgb", f"{prefix}{i:04d}.png"),
+                (img.reshape(h, w, 3) * 255).astype(np.uint8))
+            mat = np.eye(4)
+            mat[:3] = pose
+            np.savetxt(os.path.join(root, "pose", f"{prefix}{i:04d}.txt"),
+                       mat)
+
+    dump("0_", scene["poses"], scene["images"])
+    dump("2_", scene["test_poses"], scene["test_images"])
+    return scene
