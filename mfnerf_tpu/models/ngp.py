@@ -29,6 +29,8 @@ import numpy as np
 from ..ops.activations import trunc_exp
 from ..ops.hashgrid import (HashGridConfig, hashgrid_encode,
                             init_hashgrid_params, window_weights)
+from ..ops.lowrank import (LowRankConfig, init_lowrank_params,
+                           lowrank_encode)
 from ..ops.morton import morton3d_invert, packbits
 from ..ops.sh import sh_encode
 
@@ -53,6 +55,12 @@ class NGPConfig:
     sigma_neurons: int = 64       # tcnn sigma MLP width (networks.py:54)
     geo_feat_dim: int = 16        # sigma MLP output width (networks.py:38)
     sh_degree: int = 4
+    # LowRank (grid == 'LowRank') encoder knobs — the all-matmul TPU path
+    lr_levels: int = 8
+    lr_rank: int = 16
+    lr_frames: int = 2
+    lr_k_min: int = 32
+    lr_k_max: int = 512
 
     @property
     def cascades(self) -> int:
@@ -67,10 +75,19 @@ class NGPConfig:
 
     @property
     def hash_cfg(self) -> HashGridConfig:
+        if self.grid == "LowRank":
+            raise ValueError("LowRank grid has no hash config")
         return HashGridConfig.create(
             L=self.L, F=self.F, log2_T=self.log2_T, N_min=self.N_min,
             b=self.per_level_scale, grid_type=self.grid,
             N_tables=self.N_tables)
+
+    @property
+    def lowrank_cfg(self) -> LowRankConfig:
+        return LowRankConfig.create(
+            n_levels=self.lr_levels, k_min=self.lr_k_min,
+            k_max=self.lr_k_max, rank=self.lr_rank,
+            n_frames=self.lr_frames, out_dim=self.L * self.F)
 
     @property
     def n_cells(self) -> int:
@@ -133,7 +150,9 @@ class NGP:
 
     def __init__(self, cfg: NGPConfig):
         self.cfg = cfg
-        self.hash_cfg = cfg.hash_cfg
+        self.is_lowrank = cfg.grid == "LowRank"
+        self.hash_cfg = None if self.is_lowrank else cfg.hash_cfg
+        self.lowrank_cfg = cfg.lowrank_cfg if self.is_lowrank else None
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> dict:
@@ -141,7 +160,10 @@ class NGP:
         k_table, k_sigma, k_rgb, k_tm = jax.random.split(key, 4)
         sh_dim = cfg.sh_degree ** 2
         params = {
-            "hash_table": init_hashgrid_params(k_table, self.hash_cfg),
+            ("lowrank" if self.is_lowrank else "hash_table"):
+                (init_lowrank_params(k_table, self.lowrank_cfg)
+                 if self.is_lowrank
+                 else init_hashgrid_params(k_table, self.hash_cfg)),
             # sigma net: L*F -> 64 -> 16 (networks.py:36-57)
             "sigma_mlp": _mlp_init(
                 k_sigma, [cfg.L * cfg.F, cfg.sigma_neurons, cfg.geo_feat_dim]),
@@ -171,10 +193,14 @@ class NGP:
         Parity: networks.py:96-109. Returns (N,) sigma [and (N,16) features].
         """
         xn = self._normalize(x)
-        win = None
-        if self.cfg.grid == "Window" and window_alpha is not None:
-            win = window_weights(self.hash_cfg, window_alpha)
-        enc = hashgrid_encode(params["hash_table"], xn, self.hash_cfg, win)
+        if self.is_lowrank:
+            enc = lowrank_encode(params["lowrank"], xn, self.lowrank_cfg)
+        else:
+            win = None
+            if self.cfg.grid == "Window" and window_alpha is not None:
+                win = window_weights(self.hash_cfg, window_alpha)
+            enc = hashgrid_encode(params["hash_table"], xn, self.hash_cfg,
+                                  win)
         h = _mlp_apply(params["sigma_mlp"], enc)
         sigmas = trunc_exp(h[:, 0])
         if return_feat:

@@ -1,0 +1,135 @@
+"""Low-rank (CP) multiresolution encoding — the all-matmul TPU-native field.
+
+Motivation (measured on TPU v5e, see docs/TPU_NOTES.md): XLA random gather
+runs at ~165M rows/s and scatter-add at ~16M updates/s, while a faithful
+Instant-NGP hash grid needs ~50M random accesses per training step in each
+direction — 50-600x over the step budget. Mosaic exposes a dynamic_gather
+(forward) but no dynamic scatter, so an exact hash-grid *backward* cannot be
+made fast on this hardware. The TPU-native answer is an encoding whose
+forward AND backward are dense matmuls:
+
+    phi(x) = W · concat_{m,l} [ prod_d ( B_l((R_m x)_d) @ T[m,l,d] ) ]
+
+i.e. a CANDECOMP/PARAFAC (CP) factorization per resolution level l (TensoRF,
+arXiv 2203.09517, CP variant) evaluated in M rotated coordinate frames
+(rotations decorrelate CP's axis-aligned rank deficiency), where
+B_l(u) in R^{K_l} is the dense piecewise-linear "hat" basis. Every operation
+is an elementwise VPU op or an MXU matmul; gradients flow through the same
+matmuls transposed. Per-sample cost ~ sum_l K_l * rank MACs — MXU-bound, no
+random memory access anywhere.
+
+This replaces the tinycudann grid encoding's ROLE (fast-converging spatial
+features in front of tiny MLPs); the exact hash-grid (ops/hashgrid.py) is
+retained for behavioral parity and correctness tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class LowRankConfig:
+    levels: Tuple[int, ...] = (32, 48, 72, 108, 162, 243, 364, 512)
+    rank: int = 16
+    n_frames: int = 2
+    out_dim: int = 32
+
+    @staticmethod
+    def create(n_levels=8, k_min=32, k_max=512, rank=16, n_frames=2,
+               out_dim=32) -> "LowRankConfig":
+        if n_levels == 1:
+            ks = (k_max,)
+        else:
+            b = (k_max / k_min) ** (1.0 / (n_levels - 1))
+            ks = tuple(int(round(k_min * b ** i)) for i in range(n_levels))
+        return LowRankConfig(levels=ks, rank=rank, n_frames=n_frames,
+                             out_dim=out_dim)
+
+    @property
+    def n_components(self) -> int:
+        return len(self.levels) * self.n_frames * self.rank
+
+
+def _frame_rotations(n_frames: int) -> np.ndarray:
+    """Fixed rotation matrices; frame 0 is identity. Deterministic
+    quasi-random rotations (QR of seeded Gaussians) for the rest."""
+    rots = [np.eye(3, dtype=np.float32)]
+    rng = np.random.default_rng(12345)
+    while len(rots) < n_frames:
+        q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+        q = q * np.sign(np.diag(r))  # make unique / right-handed-ish
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        rots.append(q.astype(np.float32))
+    return np.stack(rots)  # (M, 3, 3)
+
+
+def init_lowrank_params(key, cfg: LowRankConfig, dtype=jnp.float32) -> dict:
+    """Line tables T[m][l][d]: (K_l, rank), plus the output projection.
+
+    Init: lines ~ N(0, 0.3) with a +1 mean on one axis so early products are
+    near-linear (helps optimization, mirrors TensoRF's practice of starting
+    from a smooth field); projection is He-uniform.
+    """
+    lines = []
+    for m in range(cfg.n_frames):
+        per_level = []
+        for k_res in cfg.levels:
+            axes = []
+            for d in range(3):
+                key, sub = jax.random.split(key)
+                t = 0.3 * jax.random.normal(sub, (k_res, cfg.rank), dtype)
+                if d == 0:
+                    t = t + 1.0
+                axes.append(t)
+            per_level.append(axes)
+        lines.append(per_level)
+    key, sub = jax.random.split(key)
+    n_comp = cfg.n_components
+    bound = math.sqrt(6.0 / n_comp)
+    proj = jax.random.uniform(sub, (n_comp, cfg.out_dim), dtype,
+                              minval=-bound, maxval=bound)
+    return {"lines": lines, "proj": proj}
+
+
+def _hat_basis(u, k_res):
+    """Dense hat (piecewise-linear interpolation) basis.
+
+    u: (N,) in [0,1] -> (N, K) with rows summing to 1; B[n,k] =
+    max(0, 1 - |u*(K-1) - k|). Evaluating it densely turns 1D interpolation
+    into a matmul — no gathers.
+    """
+    pos = u[:, None] * (k_res - 1)
+    ks = jnp.arange(k_res, dtype=jnp.float32)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - ks))
+
+
+def lowrank_encode(params: dict, x: jnp.ndarray,
+                   cfg: LowRankConfig) -> jnp.ndarray:
+    """Encode positions x (N, 3) in [0,1] -> (N, out_dim). Pure autodiff —
+    every op is dense, so no custom VJP is required."""
+    rots = jnp.asarray(_frame_rotations(cfg.n_frames))  # (M,3,3)
+    xf = x.astype(jnp.float32)
+    feats = []
+    for m in range(cfg.n_frames):
+        if m == 0:
+            u3 = xf
+        else:
+            # rotate about the domain center and renormalize into [0,1]
+            u3 = (xf - 0.5) @ rots[m].T / 1.7320508 + 0.5
+        u3 = jnp.clip(u3, 0.0, 1.0)
+        for li, k_res in enumerate(cfg.levels):
+            prod = None
+            for d in range(3):
+                basis = _hat_basis(u3[:, d], k_res)           # (N, K)
+                a = basis @ params["lines"][m][li][d]         # (N, R)
+                prod = a if prod is None else prod * a
+            feats.append(prod)
+    h = jnp.concatenate(feats, axis=1)                        # (N, M*L*R)
+    return h @ params["proj"]

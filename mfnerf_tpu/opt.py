@@ -82,8 +82,10 @@ def get_opts(argv=None):
 
     # network config
     parser.add_argument('--grid', type=str, default='Hash',
-                        choices=['Hash', 'Window', 'MixedFeature'],
-                        help='Encoding scheme Hash or MixedFeature')
+                        choices=['Hash', 'Window', 'MixedFeature', 'LowRank'],
+                        help='Encoding scheme: Hash/Window/MixedFeature '
+                             '(reference parity) or LowRank (the all-matmul '
+                             'TPU-native encoding, see ops/lowrank.py)')
     parser.add_argument('--L', type=int, default=16,
                         help='Encoding hyper parameter L')
     parser.add_argument('--F', type=int, default=2,
@@ -118,6 +120,14 @@ def get_opts(argv=None):
     parser.add_argument('--profile', action='store_true', default=False,
                         help='[tpu] capture a jax.profiler trace of a few '
                              'training steps')
+    parser.add_argument('--lr_levels', type=int, default=8,
+                        help='[tpu] LowRank: number of resolution levels')
+    parser.add_argument('--lr_rank', type=int, default=16,
+                        help='[tpu] LowRank: CP rank per level')
+    parser.add_argument('--lr_frames', type=int, default=2,
+                        help='[tpu] LowRank: rotated coordinate frames')
+    parser.add_argument('--lr_k_max', type=int, default=512,
+                        help='[tpu] LowRank: finest 1D resolution')
     parser.add_argument('--grid_size', type=int, default=128,
                         help='[tpu] occupancy grid resolution (reference '
                              'fixes 128)')

@@ -66,7 +66,11 @@ class NeRFSystem:
             N_tables=hparams.N_tables, rgb_channels=hparams.rgb_channels,
             rgb_layers=hparams.rgb_layers,
             rgb_act="None" if hparams.use_exposure else "Sigmoid",
-            grid_size=getattr(hparams, "grid_size", 128))
+            grid_size=getattr(hparams, "grid_size", 128),
+            lr_levels=getattr(hparams, "lr_levels", 8),
+            lr_rank=getattr(hparams, "lr_rank", 16),
+            lr_frames=getattr(hparams, "lr_frames", 2),
+            lr_k_max=getattr(hparams, "lr_k_max", 512))
         self.model = NGP(self.model_cfg)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,

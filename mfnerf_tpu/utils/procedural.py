@@ -31,23 +31,53 @@ def _look_at_pose(position):
     return c2w.astype(np.float32)
 
 
-def _render_gt(rays_o, rays_d, radius=0.35, center=(0.0, 0.0, 0.0)):
-    """Analytic render: shaded sphere on white background."""
-    center = np.asarray(center, np.float32)
+# a small fixed multi-sphere arrangement: one big textured sphere + satellites
+_SPHERES = [
+    ((0.0, 0.0, 0.0), 0.30, 0),
+    ((0.28, 0.18, -0.10), 0.12, 1),
+    ((-0.25, -0.05, 0.22), 0.10, 2),
+    ((0.05, -0.30, -0.18), 0.08, 3),
+    ((-0.12, 0.28, 0.05), 0.07, 4),
+]
+
+
+def _render_gt(rays_o, rays_d, radius=None, center=None):
+    """Analytic render: checker-textured shaded spheres on white background.
+
+    Deliberately non-trivial (multiple objects, occlusion, high-frequency
+    texture) so reconstruction PSNR discriminates encoder quality.
+    """
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    co = rays_o - center
-    b = (d * co).sum(-1)
-    c = (co * co).sum(-1) - radius ** 2
-    disc = b * b - c
-    hit = disc > 0
-    t = -b - np.sqrt(np.maximum(disc, 0.0))
-    hit &= t > 0
-    p = rays_o + t[:, None] * d
-    n = (p - center) / radius
-    shade = np.clip(n @ np.array([0.3, -0.5, 0.8]), 0.0, 1.0)[:, None]
-    color = (0.5 + 0.5 * n) * (0.4 + 0.6 * shade)
+    n_rays = rays_o.shape[0]
+    best_t = np.full(n_rays, np.inf, np.float32)
     img = np.ones_like(rays_o)
-    img[hit] = np.clip(color[hit], 0, 1)
+    if radius is not None:  # legacy single-sphere mode
+        spheres = [(tuple(center or (0.0, 0.0, 0.0)), radius, 0)]
+    else:
+        spheres = _SPHERES
+    for ctr, rad, mat in spheres:
+        ctr = np.asarray(ctr, np.float32)
+        co = rays_o - ctr
+        b = (d * co).sum(-1)
+        c = (co * co).sum(-1) - rad ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit &= (t > 0) & (t < best_t)
+        p = rays_o[hit] + t[hit, None] * d[hit]
+        n = (p - ctr) / rad
+        shade = np.clip(n @ np.array([0.3, -0.5, 0.8]), 0.05, 1.0)[:, None]
+        # checker texture in spherical coords (high-frequency detail)
+        theta = np.arctan2(n[:, 1], n[:, 0])
+        phi = np.arccos(np.clip(n[:, 2], -1, 1))
+        checker = ((np.floor(theta * (8 + 4 * mat) / np.pi)
+                    + np.floor(phi * (8 + 4 * mat) / np.pi)) % 2)[:, None]
+        base = np.asarray([
+            [0.9, 0.3, 0.2], [0.2, 0.7, 0.9], [0.9, 0.8, 0.2],
+            [0.4, 0.9, 0.3], [0.8, 0.4, 0.9]], np.float32)[mat]
+        color = (0.35 + 0.65 * checker) * base * (0.4 + 0.6 * shade)
+        img[hit] = np.clip(color, 0, 1)
+        best_t[hit] = t[hit]
     return img.astype(np.float32)
 
 

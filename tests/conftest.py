@@ -15,4 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the environment injects an 'axon' TPU platform plugin that overrides the
+# env var; force the CPU backend explicitly so tests are deterministic
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.devices()[0].platform == "cpu"

@@ -85,4 +85,5 @@ def test_max_ladder_steps_bounds_iteration():
         t_end = 2 * SQRT3 * scale
         K = max_ladder_steps(0.0, t_end, e, 1024, 128, scale)
         lad = _ladder_oracle(0.0, K, e, 1024, 128, scale)
-        assert lad[-1] >= t_end  # ladder of K rungs reaches the far bound
+        # ladder of K rungs reaches the far bound (fp64 accumulation slack)
+        assert lad[-1] >= t_end - 1e-9
