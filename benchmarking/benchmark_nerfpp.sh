@@ -1,0 +1,9 @@
+#!/bin/bash
+ROOT_DIR=${ROOT_DIR:-/data/tanks_and_temples}
+for SCENE in tat_intermediate_M60 tat_intermediate_Playground \
+             tat_intermediate_Train tat_training_Truck; do
+    python train.py \
+        --root_dir "$ROOT_DIR/$SCENE" --dataset_name nerfpp --scale 4 \
+        --exp_name "$SCENE" --no_save_test \
+        --num_epochs 20 --batch_size 16384 --lr 2e-2 "$@"
+done

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Head-to-head encoder comparison on the procedural scene (real TPU).
+
+Trains the same NGP pipeline with different --grid encodings and reports
+ms/step, train rays/s and test-view PSNR. This is the experimental harness
+that drives TPU-native encoder development (see ops/lowrank.py docstring for
+why the exact hash grid is gather/scatter-bound on TPU).
+
+Usage: python benchmarking/compare_encoders.py [--steps 2000] [--wh 256]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(grid, args, overrides=None):
+    import jax
+    import jax.numpy as jnp
+    from mfnerf_tpu.datasets.memory import MemoryDataset
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.rendering import render_test
+    from mfnerf_tpu.train import NeRFSystem, UPDATE_INTERVAL, WARMUP_STEPS
+    from mfnerf_tpu.utils.metrics import psnr
+    from mfnerf_tpu.utils.procedural import make_scene
+
+    hp = argparse.Namespace(
+        root_dir="<memory>", dataset_name="nsvf", split="train",
+        downsample=1.0, scale=0.5, use_exposure=False, distortion_loss_w=0.0,
+        batch_size=args.batch_size, ray_sampling_strategy="all_images",
+        num_epochs=1, num_gpus=1, lr=1e-2, optimize_ext=False,
+        random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
+        exp_name="cmp", ckpt_path=None, weight_path=None, grid=grid,
+        L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
+        rgb_layers=2, seed=1337, s_max_train=args.s_max, s_max_test=128,
+        test_chunk=args.wh * args.wh, lpips_weights=None, profile=False,
+        steps_per_epoch=1000, grid_size=128, max_samples=1024,
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512)
+    for k, v in (overrides or {}).items():
+        setattr(hp, k, v)
+
+    scene = make_scene(n_train=24, n_test=2, wh=args.wh, seed=0)
+    system = NeRFSystem(hp)
+    system.setup(MemoryDataset.from_scene(scene, "train"),
+                 MemoryDataset.from_scene(scene, "test"))
+    system.configure(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+    metrics = None
+
+    def steps(n, step0):
+        nonlocal key, metrics
+        for s in range(step0, step0 + n):
+            if s % UPDATE_INTERVAL == 0:
+                key, sub = jax.random.split(key)
+                system.occ = system._update_grid(
+                    system.params, system.occ, sub, s < WARMUP_STEPS, False)
+            batch = system.train_dataset[s % 1000]
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            system.params, system.opt_state, metrics = system._train_step(
+                system.params, system.opt_state, system.occ, system.poses,
+                system.directions, batch, sub, s)
+
+    warm = min(300, args.steps // 4)
+    steps(warm, 0)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    steps(args.steps - warm, warm)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    ms_per_step = dt / (args.steps - warm) * 1e3
+
+    # test PSNR on the held-out views
+    psnrs = []
+    for i in range(len(system.test_dataset)):
+        batch = system.test_dataset[i]
+        rays_o, rays_d = get_rays(
+            jnp.asarray(system.test_dataset.directions),
+            jnp.asarray(batch["pose"]))
+        res = render_test(system.model, system.params, system.occ, rays_o,
+                          rays_d, system.rcfg)
+        psnrs.append(float(psnr(res["rgb"], jnp.asarray(batch["rgb"]))))
+    m = jax.device_get(metrics)
+    out = {
+        "grid": grid, "ms_per_step": round(ms_per_step, 2),
+        "rays_per_sec": round(args.batch_size / (ms_per_step / 1e3)),
+        "test_psnr": round(sum(psnrs) / len(psnrs), 2),
+        "train_psnr": round(float(m["psnr"]), 2),
+        "rm_s": round(float(m["rm_s"]), 1),
+        "vr_s": round(float(m["vr_s"]), 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--wh", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=8192)
+    ap.add_argument("--s_max", type=int, default=128)
+    ap.add_argument("--grids", type=str, default="LowRank,Hash")
+    args = ap.parse_args()
+    for grid in args.grids.split(","):
+        try:
+            run_one(grid.strip(), args)
+        except Exception as e:
+            print(json.dumps({"grid": grid, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
