@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--wh", type=int, default=800)
     ap.add_argument("--fps", action="store_true",
                     help="also measure 800x800 render FPS (stderr)")
+    ap.add_argument("--grid", type=str, default="LowRank",
+                    help="encoder (LowRank is the TPU-native fast path; "
+                         "Hash is gather/scatter-bound, see docs/TPU_NOTES.md)")
     args = ap.parse_args()
 
     import jax
@@ -44,11 +47,12 @@ def main():
         batch_size=args.batch_size, ray_sampling_strategy="all_images",
         num_epochs=1, num_gpus=1, lr=1e-2, optimize_ext=False,
         random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
-        exp_name="bench", ckpt_path=None, weight_path=None, grid="Hash",
+        exp_name="bench", ckpt_path=None, weight_path=None, grid=args.grid,
         L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
         rgb_layers=2, seed=1337, s_max_train=128, s_max_test=256,
         test_chunk=65536, lpips_weights=None, profile=False,
-        steps_per_epoch=1000, grid_size=128, max_samples=1024)
+        steps_per_epoch=1000, grid_size=128, max_samples=1024,
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
