@@ -61,6 +61,10 @@ class NGPConfig:
     lr_frames: int = 2
     lr_k_min: int = 32
     lr_k_max: int = 512
+    # matmul compute dtype: 'bfloat16' doubles MXU throughput; parameters,
+    # sigma activation and compositing stay fp32 (mirrors the reference's
+    # fp16-AMP-with-fp32-kernels policy, SURVEY §5 mixed precision)
+    compute_dtype: str = "float32"
 
     @property
     def cascades(self) -> int:
@@ -134,11 +138,14 @@ def _mlp_init(key, sizes, dtype=jnp.float32):
     return ws
 
 
-def _mlp_apply(ws, x, out_act=None):
-    h = x
+def _mlp_apply(ws, x, out_act=None, dtype=jnp.float32):
+    h = x.astype(dtype)
     for w in ws[:-1]:
-        h = jax.nn.relu(h @ w)
-    h = h @ ws[-1]
+        h = jax.nn.relu(jnp.dot(h, w.astype(dtype),
+                                preferred_element_type=jnp.float32))
+        h = h.astype(dtype)
+    h = jnp.dot(h, ws[-1].astype(dtype),
+                preferred_element_type=jnp.float32)
     if out_act == "sigmoid":
         h = jax.nn.sigmoid(h)
     return h
@@ -153,6 +160,7 @@ class NGP:
         self.is_lowrank = cfg.grid == "LowRank"
         self.hash_cfg = None if self.is_lowrank else cfg.hash_cfg
         self.lowrank_cfg = cfg.lowrank_cfg if self.is_lowrank else None
+        self.dtype = jnp.dtype(cfg.compute_dtype)
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> dict:
@@ -194,14 +202,15 @@ class NGP:
         """
         xn = self._normalize(x)
         if self.is_lowrank:
-            enc = lowrank_encode(params["lowrank"], xn, self.lowrank_cfg)
+            enc = lowrank_encode(params["lowrank"], xn, self.lowrank_cfg,
+                                 dtype=self.dtype)
         else:
             win = None
             if self.cfg.grid == "Window" and window_alpha is not None:
                 win = window_weights(self.hash_cfg, window_alpha)
             enc = hashgrid_encode(params["hash_table"], xn, self.hash_cfg,
                                   win)
-        h = _mlp_apply(params["sigma_mlp"], enc)
+        h = _mlp_apply(params["sigma_mlp"], enc, dtype=self.dtype)
         sigmas = trunc_exp(h[:, 0])
         if return_feat:
             return sigmas, h
@@ -232,9 +241,10 @@ class NGP:
         sh = sh_encode((d + 1.0) / 2.0, self.cfg.sh_degree)
         inp = jnp.concatenate([sh, h], axis=1)
         if self.cfg.rgb_act == "Sigmoid":
-            rgbs = _mlp_apply(params["rgb_mlp"], inp, out_act="sigmoid")
+            rgbs = _mlp_apply(params["rgb_mlp"], inp, out_act="sigmoid",
+                              dtype=self.dtype)
         else:  # log-radiance head
-            rgbs = _mlp_apply(params["rgb_mlp"], inp)
+            rgbs = _mlp_apply(params["rgb_mlp"], inp, dtype=self.dtype)
             if output_radiance:
                 rgbs = trunc_exp(rgbs)
             else:

@@ -111,9 +111,11 @@ def _hat_basis(u, k_res):
 
 
 def lowrank_encode(params: dict, x: jnp.ndarray,
-                   cfg: LowRankConfig) -> jnp.ndarray:
+                   cfg: LowRankConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Encode positions x (N, 3) in [0,1] -> (N, out_dim). Pure autodiff —
-    every op is dense, so no custom VJP is required."""
+    every op is dense, so no custom VJP is required. ``dtype`` controls the
+    matmul compute precision (hat positions stay fp32; products and the
+    output projection accumulate in fp32 via preferred_element_type)."""
     rots = jnp.asarray(_frame_rotations(cfg.n_frames))  # (M,3,3)
     xf = x.astype(jnp.float32)
     feats = []
@@ -127,9 +129,11 @@ def lowrank_encode(params: dict, x: jnp.ndarray,
         for li, k_res in enumerate(cfg.levels):
             prod = None
             for d in range(3):
-                basis = _hat_basis(u3[:, d], k_res)           # (N, K)
-                a = basis @ params["lines"][m][li][d]         # (N, R)
+                basis = _hat_basis(u3[:, d], k_res).astype(dtype)  # (N, K)
+                a = jnp.dot(basis, params["lines"][m][li][d].astype(dtype),
+                            preferred_element_type=jnp.float32)    # (N, R)
                 prod = a if prod is None else prod * a
             feats.append(prod)
-    h = jnp.concatenate(feats, axis=1)                        # (N, M*L*R)
-    return h @ params["proj"]
+    h = jnp.concatenate(feats, axis=1).astype(dtype)          # (N, M*L*R)
+    return jnp.dot(h, params["proj"].astype(dtype),
+                   preferred_element_type=jnp.float32)

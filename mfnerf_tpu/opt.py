@@ -120,6 +120,9 @@ def get_opts(argv=None):
     parser.add_argument('--profile', action='store_true', default=False,
                         help='[tpu] capture a jax.profiler trace of a few '
                              'training steps')
+    parser.add_argument('--bf16', action='store_true', default=False,
+                        help='[tpu] bfloat16 matmul compute (2x MXU '
+                             'throughput; fp32 params/accumulation)')
     parser.add_argument('--lr_levels', type=int, default=8,
                         help='[tpu] LowRank: number of resolution levels')
     parser.add_argument('--lr_rank', type=int, default=16,

@@ -70,7 +70,9 @@ class NeRFSystem:
             lr_levels=getattr(hparams, "lr_levels", 8),
             lr_rank=getattr(hparams, "lr_rank", 16),
             lr_frames=getattr(hparams, "lr_frames", 2),
-            lr_k_max=getattr(hparams, "lr_k_max", 512))
+            lr_k_max=getattr(hparams, "lr_k_max", 512),
+            compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
+            else "float32")
         self.model = NGP(self.model_cfg)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
