@@ -256,6 +256,14 @@ class NeRFSystem:
         hp = self.hparams
         w, h = self.test_dataset.img_wh
         psnrs, ssims, lpipss = [], [], []
+        lpips_weights = getattr(hp, "lpips_weights", None)
+        if eval_lpips and lpips_weights is None:
+            print("--eval_lpips requested but no --lpips_weights npz given; "
+                  "skipping LPIPS (see misc/export_lpips_weights.py)")
+            eval_lpips = False
+        if eval_lpips:  # fail fast on a bad weights file, before rendering
+            from .utils.lpips import load_lpips_weights
+            load_lpips_weights(lpips_weights)
         n_imgs = len(self.test_dataset)
         for i in range(n_imgs):
             batch = self.test_dataset[i]
@@ -274,6 +282,12 @@ class NeRFSystem:
                                              jnp.asarray(rgb_gt)))
                 psnrs.append(logs["psnr"])
                 ssims.append(logs["ssim"])
+                if eval_lpips:
+                    from .utils.metrics import lpips_vgg
+                    logs["lpips"] = float(lpips_vgg(
+                        jnp.asarray(rgb_pred), jnp.asarray(rgb_gt),
+                        weights_path=lpips_weights))
+                    lpipss.append(logs["lpips"])
             if save_dir is not None:
                 import imageio.v2 as imageio
                 idx = batch["img_idxs"]

@@ -67,18 +67,22 @@ def ssim(img_pred, img_gt, data_range=1.0, kernel_size=11, sigma=1.5):
     return jnp.mean(num / den)
 
 
-def lpips_vgg(img_pred, img_gt, weights_path=None):
-    """LPIPS(vgg). Gated: needs pretrained VGG16 + linear weights.
+def lpips_vgg(img_pred, img_gt, weights_path=None, _cache={}):
+    """LPIPS(vgg) distance between (H, W, 3) images in [0, 1].
 
     The reference uses torchmetrics' LearnedPerceptualImagePatchSimilarity
-    ('vgg'); this image ships no torchvision weights, so callers must pass
-    ``weights_path`` (a .npz with VGG16 conv weights + LPIPS linear weights)
-    or install torchmetrics[image] with network access.
+    ('vgg') (train.py:28-32); the JAX implementation lives in
+    utils/lpips.py. Pretrained weights are not bundled in this offline
+    environment — export them once with misc/export_lpips_weights.py and
+    pass the npz via ``weights_path`` (CLI: --lpips_weights).
     """
+    from .lpips import load_lpips_weights, lpips_from_weights
     if weights_path is None:
         raise RuntimeError(
             "LPIPS requires pretrained VGG16 features which are not bundled "
-            "in this environment. Pass --lpips_weights <file.npz> or drop "
-            "the --eval_lpips flag.")
-    raise NotImplementedError(
-        "custom LPIPS weight loading not implemented yet")
+            "in this environment. Export them with "
+            "misc/export_lpips_weights.py and pass --lpips_weights "
+            "<file.npz>, or drop the --eval_lpips flag.")
+    if weights_path not in _cache:
+        _cache[weights_path] = load_lpips_weights(weights_path)
+    return lpips_from_weights(_cache[weights_path], img_pred, img_gt)
