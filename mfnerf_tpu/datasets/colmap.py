@@ -13,8 +13,8 @@ from tqdm import tqdm
 
 from .base import BaseDataset
 from .color_utils import read_image
-from .colmap_utils import (read_cameras_binary, read_images_binary,
-                           read_points3d_binary)
+from .colmap_utils import (qvec2rotmat, read_cameras_binary,
+                           read_images_binary, read_points3d_binary)
 from .ray_utils import center_poses, create_spheric_poses, get_ray_directions
 
 # HDR-NeRF per-scene exposure tables (reference colmap.py:137-152)
@@ -62,10 +62,31 @@ class ColmapDataset(BaseDataset):
         self.K = np.float32([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
         self.directions = get_ray_directions(h, w, self.K)
 
+    @staticmethod
+    def _images_meta(path):
+        """(names, qvecs (N,4), tvecs (N,3)) in file order — C++ native
+        parser when built (csrc/nativeloader.cc), Python struct fallback."""
+        from .. import native
+        if native.available():
+            meta = native.read_images_meta(path)
+            return meta["names"], meta["qvecs"], meta["tvecs"]
+        imdata = read_images_binary(path)
+        return ([imdata[k].name for k in imdata],
+                np.stack([imdata[k].qvec for k in imdata]),
+                np.stack([imdata[k].tvec for k in imdata]))
+
+    @staticmethod
+    def _points3d_xyz(path):
+        """Sparse point cloud positions (N, 3); native parser when built."""
+        from .. import native
+        if native.available():
+            return native.read_points3d(path)["xyz"]
+        pts3d = read_points3d_binary(path)
+        return np.array([pts3d[k].xyz for k in pts3d])
+
     def read_meta(self, split, **kwargs):
-        imdata = read_images_binary(
+        img_names, qvecs, tvecs = self._images_meta(
             os.path.join(self.root_dir, "sparse/0/images.bin"))
-        img_names = [imdata[k].name for k in imdata]
         if "360_v2" in self.root_dir and self.downsample < 1:
             folder = f"images_{int(1 / self.downsample)}"
         else:
@@ -75,18 +96,15 @@ class ColmapDataset(BaseDataset):
         perm = np.argsort(img_names)
         bottom = np.array([[0, 0, 0, 1.0]])
         w2c_mats = []
-        for k in imdata:
-            im = imdata[k]
-            r = im.qvec2rotmat()
-            t = im.tvec.reshape(3, 1)
-            w2c_mats.append(
-                np.concatenate([np.concatenate([r, t], 1), bottom], 0))
+        for q, t in zip(qvecs, tvecs):
+            r = qvec2rotmat(q)
+            w2c_mats.append(np.concatenate(
+                [np.concatenate([r, t.reshape(3, 1)], 1), bottom], 0))
         w2c_mats = np.stack(w2c_mats, 0)
         poses = np.linalg.inv(w2c_mats)[perm, :3]  # c2w, sorted by name
 
-        pts3d = read_points3d_binary(
+        pts3d = self._points3d_xyz(
             os.path.join(self.root_dir, "sparse/0/points3D.bin"))
-        pts3d = np.array([pts3d[k].xyz for k in pts3d])
 
         self.poses, self.pts3d = center_poses(poses, pts3d)
         scale = np.linalg.norm(self.poses[..., 3], axis=-1).min()

@@ -29,7 +29,18 @@ def linear_to_srgb(img):
 
 
 def read_image(img_path, img_wh, blend_a=True):
-    """Read an image to a flattened (H*W, 3) float32 array in [0,1]."""
+    """Read an image to a flattened (H*W, 3) float32 array in [0,1].
+
+    Uses the C++ native loader (csrc/nativeloader.cc: libpng/libjpeg decode +
+    alpha blend + bilinear resize) when built; falls back to imageio+cv2.
+    """
+    from .. import native
+    if native.available() and img_path.lower().endswith(
+            (".png", ".jpg", ".jpeg")):
+        try:
+            return native.load_images([img_path], img_wh, blend_a=blend_a)[0]
+        except IOError:
+            pass  # odd subformat — fall through to imageio
     img = imageio.imread(img_path).astype(np.float32) / 255.0
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
