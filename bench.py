@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--grid", type=str, default="LowRank",
                     help="encoder (LowRank is the TPU-native fast path; "
                          "Hash is gather/scatter-bound, see docs/TPU_NOTES.md)")
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false",
+                    help="disable bfloat16 matmul compute")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main():
         rgb_layers=2, seed=1337, s_max_train=128, s_max_test=256,
         test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512)
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
@@ -63,10 +66,12 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    def run(n_steps, step0):
+    # grid-warmup phase: per-step dispatches (the warmup grid update touches
+    # every cell, a different program than the steady-state update)
+    def run_warmup(n_steps):
         nonlocal key
         metrics = None
-        for s in range(step0, step0 + n_steps):
+        for s in range(n_steps):
             if s % UPDATE_INTERVAL == 0:
                 key, sub = jax.random.split(key)
                 system.occ = system._update_grid(
@@ -79,14 +84,32 @@ def main():
                 system.directions, batch, sub, s)
         return metrics
 
-    # warmup: compile + converge the occupancy grid to steady state
-    m = run(args.warmup_steps, 0)
-    m = jax.device_get(m)
+    m = jax.device_get(run_warmup(args.warmup_steps))
     print(f"warmup done: psnr {float(m['psnr']):.2f} "
           f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
 
+    # steady state: the fused multi-step runner executes the whole measured
+    # window (sampling + occupancy updates + optimizer) in ONE dispatch, so
+    # the number reflects chip throughput, not host/tunnel round trips
+    hw = args.wh * args.wh
+    fused = system.make_fused_train_fn(n_img=16, hw=hw)
+    rays = jnp.asarray(system.train_dataset.rays)
+
+    def run_fused(n_steps, step0):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return fused(system.params, system.opt_state, system.occ,
+                     system.poses, system.directions, rays, sub, step0,
+                     n_steps)
+
+    # first call compiles (and advances training); second call is measured
+    system.params, system.opt_state, system.occ, m = run_fused(
+        args.steps, args.warmup_steps)
+    jax.block_until_ready(m["loss"])
+
     t0 = time.perf_counter()
-    m = run(args.steps, args.warmup_steps)
+    system.params, system.opt_state, system.occ, m = run_fused(
+        args.steps, args.warmup_steps + args.steps)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     rays_per_sec = args.steps * args.batch_size / dt

@@ -17,6 +17,20 @@ arXiv 2304.12587), redesigned for TPU:
 
 __version__ = "0.1.0"
 
+# Honor JAX_PLATFORMS even under platform plugins that override it (the axon
+# TPU plugin in this environment registers itself regardless of the env var;
+# explicitly pinning the config restores the standard JAX contract so
+# JAX_PLATFORMS=cpu runs never grab the — single-tenant — TPU).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except ImportError:  # pragma: no cover
+        pass
+
 MAX_SAMPLES = 1024
 NEAR_DISTANCE = 0.01
 SQRT3 = 1.7320508075688772

@@ -33,6 +33,7 @@ from .utils.metrics import ssim as ssim_fn
 WARMUP_STEPS = 256        # reference train.py:61
 UPDATE_INTERVAL = 16      # reference train.py:62
 STEPS_PER_EPOCH = 1000    # reference base.py:17-20
+FUSED_CHUNK = 160         # steps per device dispatch in the fused train loop
 
 
 def depth2img(depth):
@@ -186,6 +187,7 @@ class NeRFSystem:
             }
             return params, opt_state, metrics
 
+        self._train_step_fn = train_step  # pure; composed by the fused runner
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def update_grid(params, occ, key, warmup, erode):
@@ -193,8 +195,76 @@ class NeRFSystem:
                 params, occ, key, self.density_threshold, warmup=warmup,
                 erode=erode)
 
+        self._update_grid_fn = update_grid
         self._update_grid = jax.jit(update_grid, static_argnums=(3, 4),
                                     donate_argnums=(1,))
+
+    # ------------------------------------------------------- fused multi-step
+    def make_fused_train_fn(self, n_img, hw, erode=False,
+                            same_image=False):
+        """Build a jitted runner executing ``n_steps`` training steps in ONE
+        device dispatch: on-device ray sampling from a staged ``rays`` array,
+        occupancy-grid refresh every UPDATE_INTERVAL steps via ``lax.cond``,
+        and the optimizer update — a single fused XLA program.
+
+        This is the TPU-shaped replacement for the reference's
+        one-dispatch-per-step Lightning loop (train.py:164-190): host round
+        trips (30 ms over a tunneled chip) would otherwise dominate the
+        ~4 ms step. Steady-state only (the warmup<256 grid phase uses the
+        per-step path, since warmup updates have a different cell-sampling
+        shape).
+
+        Returns ``run(params, opt_state, occ, poses, directions, rays, key,
+        step0, n_steps) -> (params, opt_state, occ, metrics)`` with
+        ``n_steps`` static; ``rays`` is (n_img, hw, 3|4) with the optional
+        exposure channel.
+        """
+        train_step = self._train_step_fn
+        update_grid = self._update_grid_fn
+
+        def sample_batch(rays, key):
+            k1, k2 = jax.random.split(key)
+            if same_image:  # reference base.py:27-28
+                img = jax.random.randint(k1, (), 0, n_img)
+                img_idxs = jnp.full((self.hparams.batch_size,), img)
+            else:
+                img_idxs = jax.random.randint(
+                    k1, (self.hparams.batch_size,), 0, n_img)
+            pix_idxs = jax.random.randint(
+                k2, (self.hparams.batch_size,), 0, hw)
+            picked = rays[img_idxs, pix_idxs]
+            batch = {"img_idxs": img_idxs, "pix_idxs": pix_idxs,
+                     "rgb": picked[:, :3]}
+            if rays.shape[-1] == 4:
+                batch["exposure"] = picked[:, 3:4]
+            return batch
+
+        zero_metrics = {k: jnp.zeros(()) for k in
+                        ("loss", "psnr", "rm_s", "vr_s", "lr")}
+
+        @partial(jax.jit, static_argnums=(8,), donate_argnums=(0, 1, 2))
+        def run(params, opt_state, occ, poses, directions, rays, key, step0,
+                n_steps):
+            def body(i, carry):
+                params, opt_state, occ, key, _ = carry
+                step = step0 + i
+                key, k_up, k_batch, k_step = jax.random.split(key, 4)
+                occ = jax.lax.cond(
+                    step % UPDATE_INTERVAL == 0,
+                    lambda o: update_grid(params, o, k_up, False, erode),
+                    lambda o: o, occ)
+                batch = sample_batch(rays, k_batch)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, occ, poses, directions, batch, k_step,
+                    step)
+                return params, opt_state, occ, key, metrics
+
+            params, opt_state, occ, _, metrics = jax.lax.fori_loop(
+                0, n_steps, body,
+                (params, opt_state, occ, key, zero_metrics))
+            return params, opt_state, occ, metrics
+
+        return run
 
     # ------------------------------------------------------------- main loop
     def fit(self, log_dir=None, writer=None):
@@ -216,32 +286,60 @@ class NeRFSystem:
                 tuple(self.train_dataset.img_wh))
 
         total_steps = hp.num_epochs * self.steps_per_epoch
-        t0 = time.time()
-        for step in range(self.global_step, total_steps):
-            if step % UPDATE_INTERVAL == 0:
-                key, sub = jax.random.split(key)
-                self.occ = self._update_grid(
-                    self.params, self.occ, sub, step < WARMUP_STEPS, erode)
 
-            batch = self.train_dataset[step % self.steps_per_epoch]
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch = shard_batch(batch, self.mesh)
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, self.occ, self.poses,
-                self.directions, batch, sub, step)
+        # steady-state fused runner (single-chip): N steps per dispatch with
+        # on-device sampling; the multi-chip mesh path keeps per-step
+        # dispatches (batches are host-sharded across the mesh)
+        fused = None
+        if self.mesh is None:
+            fused = self.make_fused_train_fn(
+                n_img=len(self.train_dataset.poses),
+                hw=self.train_dataset.img_wh[0]
+                * self.train_dataset.img_wh[1],
+                erode=erode,
+                same_image=hp.ray_sampling_strategy == "same_image")
+            staged_rays = jnp.asarray(self.train_dataset.rays)
 
-            self.global_step = step + 1
-            if writer is not None and (step % 100 == 0
-                                       or step == total_steps - 1):
-                m = jax.device_get(metrics)
+        def log_metrics(metrics, step):
+            m = jax.device_get(metrics)
+            if writer is not None:
                 writer.add_scalar("lr", float(m["lr"]), step)
                 writer.add_scalar("train/loss", float(m["loss"]), step)
                 writer.add_scalar("train/rm_s", float(m["rm_s"]), step)
                 writer.add_scalar("train/vr_s", float(m["vr_s"]), step)
                 writer.add_scalar("train/psnr", float(m["psnr"]), step)
-            if step % 1000 == 0:
-                m = jax.device_get(metrics)
+            return m
+
+        t0 = time.time()
+        step = self.global_step
+        last_print = -1000
+        while step < total_steps:
+            if fused is not None and step >= WARMUP_STEPS:
+                chunk = min(FUSED_CHUNK, total_steps - step)
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, self.occ, metrics = fused(
+                    self.params, self.opt_state, self.occ, self.poses,
+                    self.directions, staged_rays, sub, step, chunk)
+                step += chunk
+            else:
+                if step % UPDATE_INTERVAL == 0:
+                    key, sub = jax.random.split(key)
+                    self.occ = self._update_grid(
+                        self.params, self.occ, sub, step < WARMUP_STEPS,
+                        erode)
+                batch = self.train_dataset[step % self.steps_per_epoch]
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = shard_batch(batch, self.mesh)
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, self.occ, self.poses,
+                    self.directions, batch, sub, step)
+                step += 1
+
+            self.global_step = step
+            if step - last_print >= 1000 or step == total_steps:
+                m = log_metrics(metrics, step - 1)
+                last_print = step
                 dt = time.time() - t0
                 print(f"step {step:6d}/{total_steps} "
                       f"loss {float(m['loss']):.4f} "

@@ -23,7 +23,9 @@ def _hparams(**kw):
              ckpt_path=None, weight_path=None, grid="Hash", L=8, F=2, T=15,
              N_min=16, N_max=128, N_tables=1, rgb_channels=32, rgb_layers=2,
              seed=1337, s_max_train=64, s_max_test=64, test_chunk=4096,
-             lpips_weights=None, profile=False, steps_per_epoch=220,
+             # 400 steps: 256 per-step (grid warmup) + 144 through the fused
+             # multi-step runner, so this also gates the fused path
+             lpips_weights=None, profile=False, steps_per_epoch=400,
              grid_size=64, max_samples=256)
     d.update(kw)
     return argparse.Namespace(**d)
