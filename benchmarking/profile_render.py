@@ -115,6 +115,55 @@ def main():
         print(f"field fwd {dtype_name} ({m} samples): {dt * 1e3:.2f} ms "
               f"= {dt / m * 1e9:.2f} ns/sample")
 
+    # ---- 4b. compaction primitives at image scale ------------------------
+    n_img_rays = 640 * 1024
+    alive = jax.random.uniform(key, (n_img_rays,)) < 0.25
+    state = jax.random.normal(key, (n_img_rays, 12))
+
+    @jax.jit
+    def bench_argsort(alive):
+        def body(i, acc):
+            order = jnp.argsort(jnp.logical_not(alive) != (i < 0))
+            return acc + order[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    dt = timeit(bench_argsort, alive) / reps
+    print(f"argsort bool ({n_img_rays}): {dt * 1e3:.2f} ms")
+
+    @jax.jit
+    def bench_topk(alive):
+        def body(i, acc):
+            _, idx = jax.lax.top_k(alive.astype(jnp.float32) + 0.0 * i,
+                                   n_img_rays // 4)
+            return acc + idx[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    dt = timeit(bench_topk, alive) / reps
+    print(f"top_k N/4 ({n_img_rays}): {dt * 1e3:.2f} ms")
+
+    idx4 = jax.random.randint(key, (n_img_rays // 4,), 0, n_img_rays)
+
+    @jax.jit
+    def bench_gather_rows(state, idx4):
+        def body(i, acc):
+            rows = state[(idx4 + i) % n_img_rays]
+            return acc + rows.sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    dt = timeit(bench_gather_rows, state, idx4) / reps
+    print(f"gather rows 48B (N/4 of {n_img_rays}): {dt * 1e3:.2f} ms")
+
+    rows4 = jax.random.normal(key, (n_img_rays // 4, 12))
+
+    @jax.jit
+    def bench_scatter_rows(state, idx4, rows4):
+        def body(i, st):
+            return st.at[(idx4 + i) % n_img_rays].set(rows4)
+        return jax.lax.fori_loop(0, reps, body, state)
+
+    dt = timeit(bench_scatter_rows, state, idx4, rows4) / reps
+    print(f"scatter-set rows 48B (N/4 of {n_img_rays}): {dt * 1e3:.2f} ms")
+
     # ---- 5. current full render chunk -----------------------------------
     from mfnerf_tpu.models.rendering import RenderConfig, _render_test_chunk
     from mfnerf_tpu.models.ngp import OccupancyState

@@ -16,9 +16,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.composite import composite_train
+from ..ops.composite import composite_test_step, composite_train
 from ..ops.intersection import ray_aabb_intersect_single
-from ..ops.ray_march import march_rays_train
+from ..ops.ray_march import march_rays_train, march_rays_window
 from ..ops.stepping import max_ladder_steps
 
 MAX_SAMPLES = 1024     # reference rendering.py:7
@@ -36,6 +36,16 @@ class RenderConfig:
     s_max_test: int = 256          # padded per-ray sample budget (test)
     random_bg: bool = False
     test_chunk: int = 16384
+    # alive-ray round schedule for the fast test renderer: per round a
+    # (capacity fraction of the ray count, rung-window length, sample cap).
+    # The XLA analogue of the reference's adaptive N_samples loop
+    # (rendering.py:75-105): round capacities shrink as rays converge, and
+    # each round is a static-shape program — the whole schedule jits as one
+    # dispatch. The final rounds sweep the remaining ladder so stragglers
+    # finish exactly.
+    rounds: tuple = ((1.0, 256, 8), (0.5, 256, 8), (0.25, 256, 16),
+                     (0.125, 512, 32), (0.0625, 1024, 64),
+                     (0.03125, 4096, 128), (0.015625, 4096, 256))
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -141,13 +151,99 @@ def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg):
     return comp.rgb, comp.opacity, comp.depth, comp.vr_samples
 
 
-def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig):
-    """Full-image test rendering, chunked to bound memory.
+@partial(jax.jit, static_argnums=(0, 5))
+def _render_test_alive(model, params, occ, rays_o, rays_d,
+                       rcfg: RenderConfig):
+    """Multi-round alive-ray renderer — the whole schedule is ONE dispatch.
 
-    Parity target: __render_rays_test (rendering.py:46-118). The alive-ray
-    loop is an optimization, not a semantic: with the t-ladder march the
-    sample set is identical, so compositing all samples with the
-    T-threshold inclusion mask gives the same image.
+    The XLA re-design of the reference's test loop (rendering.py:46-118 +
+    raymarching.cu:335-454 + volumerendering.cu:206-285): rounds of
+    (march a rung window -> field eval -> incremental composite) over a
+    statically shrinking set of alive rays. Compaction is jax.lax.top_k on
+    the alive flags (stable, so ray order is preserved); converged/exhausted
+    rays stop costing field evaluations, which is where the FPS comes from
+    (the dense single-pass path evaluates every padded sample).
+    """
+    cfg = model.cfg
+    n = rays_o.shape[0]
+    hits_t = ray_aabb_intersect_single(
+        rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
+    hits_t = _clamp_near(hits_t)
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    valid = t1 >= 0
+    t_start = jnp.where(valid, t1, 0.0)
+    t2 = jnp.where(valid, t2, -1.0)
+    k_total = rcfg.n_rungs(cfg.scale, cfg.grid_size, test=True)
+    dt_scale = rcfg._dt_scale(cfg.scale, True)
+
+    opacity = jnp.zeros((n,), jnp.float32)
+    depth = jnp.zeros((n,), jnp.float32)
+    rgb = jnp.zeros((n, 3), jnp.float32)
+    cursor = jnp.zeros((n,), jnp.int32)
+    alive = valid
+    vr_total = jnp.int32(0)
+
+    for i, (frac, w_len, s_cap) in enumerate(rcfg.rounds):
+        c = min(max(int(round(n * frac)), 1), n)
+        w_len = min(w_len, k_total)
+        if c == n:
+            ids = jnp.arange(n, dtype=jnp.int32)
+        else:
+            _, ids = jax.lax.top_k(alive.astype(jnp.float32), c)
+        ro, rd = rays_o[ids], rays_d[ids]
+        mr = march_rays_window(
+            ro, rd, t_start[ids], t2[ids], cursor[ids],
+            occ.density_bitfield, cfg.cascades, cfg.scale,
+            rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+            w_len, s_cap, dt_scale=dt_scale)
+
+        xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
+        dir_flat = jnp.broadcast_to(rd[:, None, :],
+                                    (c, s_cap, 3)).reshape(-1, 3)
+        sigmas, rgbs = model(params, xyz_flat, dir_flat)
+        sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(c, s_cap)
+        rgbs = rgbs.reshape(c, s_cap, 3)
+
+        op_s, dep_s, rgb_s, alive_s = composite_test_step(
+            sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+            opacity[ids], depth[ids], rgb[ids], alive[ids],
+            rcfg.T_threshold)
+        alive_s = alive_s & jnp.logical_not(mr.exhausted) \
+            & (mr.cursor < k_total)
+        vr_total = vr_total + jnp.where(alive[ids], mr.n_samples, 0).sum()
+
+        opacity = opacity.at[ids].set(op_s)
+        depth = depth.at[ids].set(dep_s)
+        rgb = rgb.at[ids].set(rgb_s)
+        cursor = cursor.at[ids].set(mr.cursor)
+        alive = alive.at[ids].set(alive_s)
+
+    return rgb, opacity, depth, vr_total
+
+
+def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig):
+    """Full-image test rendering via the multi-round alive-ray renderer.
+
+    Parity target: __render_rays_test (rendering.py:46-118). Background
+    blending matches reference rendering.py:112-116.
+    """
+    rgb, opacity, depth, vr_total = _render_test_alive(
+        model, params, occ, rays_o, rays_d, rcfg)
+    if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
+        rgb_bg = jnp.ones(3)
+    else:
+        rgb_bg = jnp.zeros(3)
+    rgb = rgb + rgb_bg * (1.0 - opacity)[:, None]
+    return {"rgb": rgb, "opacity": opacity, "depth": depth,
+            "total_samples": int(vr_total)}
+
+
+def render_test_dense(model, params, occ, rays_o, rays_d,
+                      rcfg: RenderConfig):
+    """Single-pass dense test rendering, chunked to bound memory.
+
+    Kept as the oracle for the alive-ray renderer (same ladder, same
+    T-threshold semantics, no round/capacity effects) and as a fallback.
     """
     n_rays = rays_o.shape[0]
     chunk = rcfg.test_chunk

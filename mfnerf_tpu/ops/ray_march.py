@@ -127,3 +127,79 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
     return MarchResults(xyzs=xyzs, dirs=rays_d, deltas=deltas, ts=ts,
                         mask=mask, n_samples=n_samples,
                         rm_samples=n_samples.sum())
+
+
+class WindowMarchResults(NamedTuple):
+    xyzs: jnp.ndarray      # (C, S, 3)
+    deltas: jnp.ndarray    # (C, S)
+    ts: jnp.ndarray        # (C, S)
+    mask: jnp.ndarray      # (C, S) bool
+    n_samples: jnp.ndarray  # (C,) int32 emitted this window (<= S)
+    cursor: jnp.ndarray    # (C,) int32 next rung to inspect after this window
+    exhausted: jnp.ndarray  # (C,) bool ray passed its exit before the cursor
+
+
+def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,
+                      cascades, scale, exp_step_factor, grid_size,
+                      max_samples, n_window, s_cap, dt_scale=None
+                      ) -> WindowMarchResults:
+    """March a WINDOW of ``n_window`` t-ladder rungs starting at each ray's
+    ``cursor``, emitting at most ``s_cap`` occupied samples.
+
+    The incremental building block of the multi-round test renderer — the
+    TPU reformulation of the reference's ``raymarching_test`` CUDA kernel
+    (models/csrc/raymarching.cu:335-454), whose per-ray resume point
+    (``hits_t[r][0]`` mutation, :390) becomes the explicit integer ``cursor``
+    on the closed-form ladder. If more than ``s_cap`` occupied rungs exist in
+    the window the cursor resumes right after the ``s_cap``-th; otherwise it
+    skips to the window end.
+
+    Args:
+        t_start: (C,) ladder origin t (box entry, fixed per ray).
+        t2: (C,) box exit distances.
+        cursor: (C,) int32 first rung index of this window.
+        n_window: static window length W.
+        s_cap: static per-ray sample cap S for this round.
+    """
+    if dt_scale is None:
+        dt_scale = scale
+    ks = cursor[:, None] + jnp.arange(n_window, dtype=jnp.int32)[None, :]
+    ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
+                      dt_scale)                                    # (C, W)
+    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size,
+                     dt_scale)
+    xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+    occ = _occupancy_at(xyz, dt_all, density_bitfield, cascades, scale,
+                        grid_size)
+    occ = occ & (ts_all < t2[:, None])
+
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)               # (C, W)
+    n_found = csum[:, -1]
+    n_samples = jnp.minimum(n_found, s_cap).astype(jnp.int32)
+
+    queries = jnp.arange(1, s_cap + 1, dtype=jnp.int32)
+    k_local = jax.vmap(
+        lambda row: jnp.searchsorted(row, queries, side="left"))(csum)
+    k_local = jnp.minimum(k_local, n_window - 1).astype(jnp.int32)
+    mask = queries[None, :] <= n_samples[:, None]                  # (C, S)
+
+    k_glob = cursor[:, None] + k_local
+    ts = t_ladder(t_start, k_glob, exp_step_factor, max_samples, grid_size,
+                  dt_scale)
+    deltas = calc_dt(ts, exp_step_factor, max_samples, grid_size, dt_scale)
+    ts = jnp.where(mask, ts, 0.0)
+    deltas = jnp.where(mask, deltas, 0.0)
+    xyzs = jnp.where(mask[..., None],
+                     rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                     0.0)
+
+    cursor_new = jnp.where(
+        n_found > s_cap,
+        cursor + k_local[:, -1] + 1,   # resume just after the s_cap-th hit
+        cursor + n_window).astype(jnp.int32)
+    t_next = t_ladder(t_start, cursor_new[:, None], exp_step_factor,
+                      max_samples, grid_size, dt_scale)[:, 0]
+    exhausted = t_next >= t2
+    return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
+                              n_samples=n_samples, cursor=cursor_new,
+                              exhausted=exhausted)

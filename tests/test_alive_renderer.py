@@ -1,0 +1,89 @@
+"""Multi-round alive-ray test renderer vs the dense single-pass oracle.
+
+Both evaluate the same t-ladder samples with the same T-threshold inclusion
+semantics, so with a generous round schedule (full capacity every round,
+windows covering the whole ladder) the images must agree to float tolerance.
+A second test checks the shrinking-capacity schedule stays close on a
+realistic (trained-free) field where most rays terminate early.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfnerf_tpu.models.ngp import NGP, NGPConfig, OccupancyState
+from mfnerf_tpu.models.rendering import (RenderConfig, render_test,
+                                         render_test_dense)
+
+
+def _setup(seed=0, occ_fill=0x33):
+    cfg = NGPConfig(grid="Hash", L=4, log2_T=12, N_max=64, grid_size=32,
+                    scale=0.5, rgb_channels=16, rgb_layers=1)
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    occ = OccupancyState.create(cfg)
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 256, occ.density_bitfield.shape,
+                        dtype=np.uint8) & occ_fill
+    occ = OccupancyState(density_grid=occ.density_grid,
+                         density_bitfield=jnp.asarray(bits),
+                         count_grid=occ.count_grid)
+
+    n = 512
+    key = jax.random.PRNGKey(seed + 1)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.4]]), (n, 1))
+    d = jax.random.normal(key, (n, 3)) * jnp.asarray([0.3, 0.3, 0.0]) \
+        + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    return model, params, occ, rays_o, rays_d
+
+
+def test_alive_matches_dense_with_full_capacity():
+    model, params, occ, rays_o, rays_d = _setup()
+    # full capacity every round; enough window+samples to cover the ladder
+    rcfg = RenderConfig(
+        max_samples=128, s_max_test=256, test_chunk=512,
+        rounds=((1.0, 64, 16),) * 16)
+    res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    res_dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg)
+    np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
+                               np.asarray(res_dense["opacity"]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
+                               np.asarray(res_dense["rgb"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_alive["depth"]),
+                               np.asarray(res_dense["depth"]), atol=2e-3)
+
+
+def test_alive_shrinking_schedule_matches_when_rays_exhaust():
+    # sparse occupancy (1/8 cells): rays pick up a handful of samples then
+    # exhaust as the cursor passes the scene exit — capacity shrinks in the
+    # late rounds without dropping any still-alive ray
+    model, params, occ, rays_o, rays_d = _setup(occ_fill=0x01)
+    rcfg = RenderConfig(
+        max_samples=128, s_max_test=256, test_chunk=512,
+        rounds=((1.0, 32, 8), (1.0, 32, 8), (1.0, 64, 16),
+                (0.5, 128, 32), (0.25, 256, 64)))
+    res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    res_dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg)
+    np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
+                               np.asarray(res_dense["rgb"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
+                               np.asarray(res_dense["opacity"]), atol=1e-3)
+    assert res_alive["total_samples"] > 0
+
+
+def test_alive_handles_missing_rays():
+    model, params, occ, rays_o, rays_d = _setup()
+    # point half the rays away from the box: they must return pure background
+    rays_d = np.array(rays_d)
+    rays_d[::2] = np.array([0.0, 0.0, -1.0])
+    rays_d = jnp.asarray(rays_d)
+    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 8),) * 4)
+    res = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    rgb = np.asarray(res["rgb"])
+    np.testing.assert_allclose(rgb[::2], 1.0, atol=1e-6)  # white bg
+    assert np.asarray(res["opacity"])[::2].max() == 0.0
