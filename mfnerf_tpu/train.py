@@ -443,6 +443,19 @@ def main(hparams):
             system.opt_state = loaded["opt_state"]
         system.global_step = loaded["step"]
 
+    if getattr(hparams, "profile", False) and not hparams.val_only:
+        # capture a device trace of a few steps (view with tensorboard or
+        # xprof); parity-plus: the reference has no profiler integration
+        # (SURVEY §5), only wall-clock logs
+        trace_dir = os.path.join(log_dir, "profile")
+        sys_bak = hparams.num_epochs, hparams.steps_per_epoch
+        hparams.num_epochs, system.steps_per_epoch = 1, 48
+        with jax.profiler.trace(trace_dir):
+            system.fit()
+        hparams.num_epochs, system.steps_per_epoch = sys_bak
+        system.global_step = 0
+        print(f"profiler trace written to {trace_dir}")
+
     if not hparams.val_only:
         train_time = system.fit(log_dir=log_dir, writer=writer)
         print(f"training took {train_time:.1f}s")
