@@ -23,11 +23,11 @@ __version__ = "0.1.0"
 # JAX_PLATFORMS=cpu runs never grab the — single-tenant — TPU).
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
     try:
         import jax as _jax
 
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", "cpu")
     except ImportError:  # pragma: no cover
         pass
 

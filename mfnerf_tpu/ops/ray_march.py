@@ -43,6 +43,34 @@ class MarchResults(NamedTuple):
     rm_samples: jnp.ndarray  # () int32 total marched samples (train/rm_s log)
 
 
+def compact_rung_indices(csum, s_max, chunk=128):
+    """Rung index of the s-th occupied sample from the per-row cumsum.
+
+    ``k_idx[n, s] = #{k : csum[n, k] <= s}`` — the first k with
+    ``csum[k] == s+1`` in a monotone row. Equivalent to
+    ``searchsorted(csum[n], s+1, side='left')`` but expressed as a chunked
+    broadcast-compare reduction: vmapped searchsorted lowers to per-element
+    binary-search loops of dynamic gathers on TPU (catastrophically slow),
+    while this is a pure VPU compare+reduce stream.
+
+    Args:
+        csum: (N, K) int32 monotone per row.
+        s_max: static sample budget S.
+        chunk: K-chunk size bounding the fused (N, chunk, S) intermediate.
+    Returns:
+        (N, S) int32 indices in [0, K] (== K when fewer samples exist; the
+        caller clamps and masks).
+    """
+    n, k_total = csum.shape
+    s_range = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
+    out = jnp.zeros((n, s_max), jnp.int32)
+    for k0 in range(0, k_total, chunk):
+        blk = csum[:, k0:k0 + chunk]
+        out = out + (blk[:, :, None] <= s_range).sum(
+            axis=1, dtype=jnp.int32)
+    return out
+
+
 def _occupancy_at(xyz, dt, density_bitfield, cascades, scale, grid_size):
     """Occupancy of the (mip-selected) grid cell containing each position.
 
@@ -107,11 +135,9 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
     n_samples = jnp.minimum(n_total, s_max).astype(jnp.int32)
 
     # compaction: rung index of the s-th occupied sample = first k with
-    # csum[k] == s+1 (binary search in the monotone csum)
+    # csum[k] == s+1 (compare-reduce; see compact_rung_indices)
+    k_idx = jnp.minimum(compact_rung_indices(csum, s_max), n_rungs - 1)
     queries = jnp.arange(1, s_max + 1, dtype=jnp.int32)
-    k_idx = jax.vmap(
-        lambda row: jnp.searchsorted(row, queries, side="left"))(csum)
-    k_idx = jnp.minimum(k_idx, n_rungs - 1).astype(jnp.int32)
     mask = queries[None, :] <= n_samples[:, None]                 # (N, S)
 
     # closed-form re-evaluation at the selected rungs (cheaper than gather
@@ -177,10 +203,8 @@ def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,
     n_found = csum[:, -1]
     n_samples = jnp.minimum(n_found, s_cap).astype(jnp.int32)
 
+    k_local = jnp.minimum(compact_rung_indices(csum, s_cap), n_window - 1)
     queries = jnp.arange(1, s_cap + 1, dtype=jnp.int32)
-    k_local = jax.vmap(
-        lambda row: jnp.searchsorted(row, queries, side="left"))(csum)
-    k_local = jnp.minimum(k_local, n_window - 1).astype(jnp.int32)
     mask = queries[None, :] <= n_samples[:, None]                  # (C, S)
 
     k_glob = cursor[:, None] + k_local

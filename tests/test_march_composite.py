@@ -236,3 +236,18 @@ def test_distortion_loss_matches_double_sum():
                    for i in range(s) for j in range(s))
         uni = (w ** 2 * dl[r]).sum() / 3
         np.testing.assert_allclose(got[r], pair + uni, rtol=1e-4, atol=1e-6)
+
+
+def test_compact_rung_indices_matches_searchsorted():
+    import numpy as np
+    import jax.numpy as jnp
+    from mfnerf_tpu.ops.ray_march import compact_rung_indices
+
+    rng = np.random.default_rng(0)
+    occ = rng.random((37, 150)) < 0.1
+    csum = np.cumsum(occ.astype(np.int32), axis=1)
+    s_max = 16
+    got = np.asarray(compact_rung_indices(jnp.asarray(csum), s_max, chunk=64))
+    want = np.stack([np.searchsorted(row, np.arange(1, s_max + 1), "left")
+                     for row in csum])
+    np.testing.assert_array_equal(got, want)
