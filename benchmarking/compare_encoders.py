@@ -104,7 +104,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8192)
     ap.add_argument("--s_max", type=int, default=128)
     ap.add_argument("--grids", type=str, default="LowRank,Hash")
+    ap.add_argument("--variants", type=str, default=None,
+                    help="JSON list of hparam-override dicts, each with a "
+                         "'grid' key; replaces --grids when given. E.g. "
+                         '\'[{"grid":"LowRank","lr_levels":2,"lr_rank":128}]\'')
     args = ap.parse_args()
+    if args.variants:
+        for ov in json.loads(args.variants):
+            grid = ov.pop("grid", "LowRank")
+            try:
+                run_one(grid, args, overrides=ov)
+            except Exception as e:
+                print(json.dumps({"grid": grid, "ov": ov,
+                                  "error": str(e)[:200]}), flush=True)
+        return
     for grid in args.grids.split(","):
         try:
             run_one(grid.strip(), args)

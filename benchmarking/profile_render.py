@@ -61,6 +61,22 @@ def main():
     print(f"bitfield lookup ({n}x{k}): {dt * 1e3:.2f} ms "
           f"= {dt / (n * k) * 1e9:.3f} ns/lookup")
 
+    # gather rate by table dtype/size (is the uint8 byte-gather the problem?)
+    for dtype, tab_n in [(jnp.uint8, 128 ** 3 // 8), (jnp.int32, 128 ** 3 // 8),
+                         (jnp.float32, 128 ** 3 // 8), (jnp.float32, 4096)]:
+        table = jnp.zeros((tab_n,), dtype)
+
+        @jax.jit
+        def bench_gather(idx, table=table, tab_n=tab_n):
+            def body(i, acc):
+                rows = table[(idx + i) % tab_n]
+                return acc + rows.astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        dt = timeit(bench_gather, idx) / reps
+        print(f"gather {dtype.__name__} table[{tab_n}] ({n}x{k}): "
+              f"{dt * 1e3:.2f} ms = {dt / (n * k) * 1e9:.3f} ns/el")
+
     # ---- 2. t-ladder ----------------------------------------------------
     from mfnerf_tpu.ops.stepping import t_ladder
 

@@ -129,6 +129,8 @@ def get_opts(argv=None):
                         help='[tpu] LowRank: CP rank per level')
     parser.add_argument('--lr_frames', type=int, default=2,
                         help='[tpu] LowRank: rotated coordinate frames')
+    parser.add_argument('--lr_k_min', type=int, default=32,
+                        help='[tpu] LowRank: coarsest 1D resolution')
     parser.add_argument('--lr_k_max', type=int, default=512,
                         help='[tpu] LowRank: finest 1D resolution')
     parser.add_argument('--grid_size', type=int, default=128,

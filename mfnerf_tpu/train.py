@@ -71,6 +71,7 @@ class NeRFSystem:
             lr_levels=getattr(hparams, "lr_levels", 8),
             lr_rank=getattr(hparams, "lr_rank", 16),
             lr_frames=getattr(hparams, "lr_frames", 2),
+            lr_k_min=getattr(hparams, "lr_k_min", 32),
             lr_k_max=getattr(hparams, "lr_k_max", 512),
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
             else "float32")
