@@ -186,13 +186,13 @@ def main():
     cfg = NGPConfig(grid="LowRank", compute_dtype="bfloat16")
     model = NGP(cfg)
     params = model.init(jax.random.PRNGKey(1))
+    import dataclasses
     occ = OccupancyState.create(cfg)
-    occ = OccupancyState(density_grid=occ.density_grid,
-                         density_bitfield=jnp.asarray(
-                             np.random.default_rng(0).integers(
-                                 0, 255, occ.density_bitfield.shape,
-                                 dtype=np.uint8) & 0x11),
-                         count_grid=occ.count_grid)
+    occ = dataclasses.replace(
+        occ, density_bitfield=jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, occ.density_bitfield.shape,
+                dtype=np.uint8) & 0x11)).refresh_coarse(cfg)
     rcfg = RenderConfig(s_max_test=args.s * 4, test_chunk=n)
     rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (n, 1))
     d = jax.random.normal(jax.random.PRNGKey(4), (n, 3)) * 0.15

@@ -47,7 +47,7 @@ def main():
                                                 "occ": occ})
     params = loaded["params"]
     if "occ" in loaded and not isinstance(loaded["occ"], dict):
-        occ = loaded["occ"]
+        occ = loaded["occ"].refresh_coarse(system.model_cfg)
 
     save_dir = None
     if not hparams.no_save_test:

@@ -102,16 +102,27 @@ class NGPConfig:
 @dataclasses.dataclass
 class OccupancyState:
     """Occupancy-grid buffers (reference buffers density_grid/density_bitfield/
-    count_grid, train.py:77-81 + networks.py:28-29,212)."""
+    count_grid, train.py:77-81 + networks.py:28-29,212).
+
+    ``coarse_bitfield`` is TPU-specific: a dilated half-resolution copy of the
+    bitfield enabling two-level marching (strata tested at the coarse level,
+    fine lookups only inside surviving strata) — random gathers are the
+    scarce resource on TPU (~7 ns each, see docs/TPU_NOTES.md). Always
+    derived from ``density_bitfield`` (see refresh_coarse); kept in the state
+    so marching needn't rebuild it every step.
+    """
     density_grid: jnp.ndarray    # (C, G^3) float32, Morton cell order
     density_bitfield: jnp.ndarray  # (C*G^3//8,) uint8
     count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
+    coarse_bitfield: jnp.ndarray  # (C*(G/2)^3//8,) uint8, dilated
 
     def tree_flatten_with_keys(self):
         return ((jax.tree_util.GetAttrKey("density_grid"), self.density_grid),
                 (jax.tree_util.GetAttrKey("density_bitfield"),
                  self.density_bitfield),
-                (jax.tree_util.GetAttrKey("count_grid"), self.count_grid)), None
+                (jax.tree_util.GetAttrKey("count_grid"), self.count_grid),
+                (jax.tree_util.GetAttrKey("coarse_bitfield"),
+                 self.coarse_bitfield)), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -124,7 +135,16 @@ class OccupancyState:
             density_grid=jnp.zeros((c, n), jnp.float32),
             density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
             count_grid=jnp.zeros((c, n), jnp.float32),
+            coarse_bitfield=jnp.zeros((c * n // 64,), jnp.uint8),
         )
+
+    def refresh_coarse(self, cfg: NGPConfig) -> "OccupancyState":
+        """Rebuild coarse_bitfield from density_bitfield (after ckpt load —
+        older checkpoints don't carry it)."""
+        from ..ops.morton import coarse_bitfield_from_fine
+        return dataclasses.replace(
+            self, coarse_bitfield=coarse_bitfield_from_fine(
+                self.density_bitfield, cfg.grid_size, cfg.cascades))
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32):
@@ -331,6 +351,7 @@ class NGP:
             density_grid=jnp.stack(grids),
             density_bitfield=occ.density_bitfield,
             count_grid=jnp.stack(counts),
+            coarse_bitfield=occ.coarse_bitfield,
         )
 
     def update_density_grid(self, params, occ: OccupancyState, key,
@@ -389,6 +410,10 @@ class NGP:
             jnp.maximum(pos.sum(), 1)
         threshold = jnp.minimum(mean_density, density_threshold)
         bitfield = packbits(new_grid, threshold)
+        from ..ops.morton import coarse_bitfield_from_fine
+        coarse = coarse_bitfield_from_fine(bitfield, cfg.grid_size,
+                                           cfg.cascades)
         return OccupancyState(density_grid=new_grid,
                               density_bitfield=bitfield,
-                              count_grid=occ.count_grid)
+                              count_grid=occ.count_grid,
+                              coarse_bitfield=coarse)

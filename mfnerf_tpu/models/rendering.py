@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 from ..ops.composite import composite_test_step, composite_train
 from ..ops.intersection import ray_aabb_intersect_single
-from ..ops.ray_march import march_rays_train, march_rays_window
+from ..ops.ray_march import (march_rays_train, march_rays_train_twolevel,
+                             march_rays_window, march_rays_window_twolevel,
+                             twolevel_stratum)
 from ..ops.stepping import max_ladder_steps
 
 MAX_SAMPLES = 1024     # reference rendering.py:7
@@ -36,6 +38,7 @@ class RenderConfig:
     s_max_test: int = 256          # padded per-ray sample budget (test)
     random_bg: bool = False
     test_chunk: int = 16384
+    s_strata: int = 32             # two-level march: coarse-strata budget
     # alive-ray round schedule for the fast test renderer: per round a
     # (capacity fraction of the ray count, rung-window length, sample cap).
     # The XLA analogue of the reference's adaptive N_samples loop
@@ -90,10 +93,21 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
 
     key_noise, key_bg = jax.random.split(key)
     noise = jax.random.uniform(key_noise, (rays_o.shape[0],))
-    mr = march_rays_train(
-        rays_o, rays_d, hits_t, occ.density_bitfield, cfg.cascades,
-        cfg.scale, rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-        noise, rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train)
+    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                               cfg.scale, cfg.grid_size, cfg.cascades)
+    if stratum:  # synthetic single-cascade scenes: gather-frugal march
+        mr = march_rays_train_twolevel(
+            rays_o, rays_d, hits_t, occ.density_bitfield,
+            occ.coarse_bitfield, cfg.scale, rcfg.exp_step_factor,
+            cfg.grid_size, rcfg.max_samples, noise,
+            rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
+            stratum, s_strata=rcfg.s_strata)
+    else:
+        mr = march_rays_train(
+            rays_o, rays_d, hits_t, occ.density_bitfield, cfg.cascades,
+            cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+            rcfg.max_samples, noise,
+            rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train)
 
     n, s = mr.ts.shape
     xyz_flat = mr.xyzs.reshape(n * s, 3)
@@ -191,11 +205,20 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
         else:
             _, ids = jax.lax.top_k(alive.astype(jnp.float32), c)
         ro, rd = rays_o[ids], rays_d[ids]
-        mr = march_rays_window(
-            ro, rd, t_start[ids], t2[ids], cursor[ids],
-            occ.density_bitfield, cfg.cascades, cfg.scale,
-            rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-            w_len, s_cap, dt_scale=dt_scale)
+        stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                   cfg.scale, cfg.grid_size, cfg.cascades)
+        if stratum:  # gather-frugal two-level window (synthetic scenes)
+            mr = march_rays_window_twolevel(
+                ro, rd, t_start[ids], t2[ids], cursor[ids],
+                occ.density_bitfield, occ.coarse_bitfield, cfg.scale,
+                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                w_len, s_cap, stratum)
+        else:
+            mr = march_rays_window(
+                ro, rd, t_start[ids], t2[ids], cursor[ids],
+                occ.density_bitfield, cfg.cascades, cfg.scale,
+                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                w_len, s_cap, dt_scale=dt_scale)
 
         xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
         dir_flat = jnp.broadcast_to(rd[:, None, :],

@@ -78,6 +78,66 @@ def packbits(density_grid: jnp.ndarray, density_threshold) -> jnp.ndarray:
     return (bits * weights).sum(axis=-1).astype(jnp.uint8)
 
 
+_DILATE_PERMS = {}
+
+
+def _morton_spatial_perms(g: int):
+    """(to_spatial, to_morton) index permutations between Morton storage
+    order and (x, y, z) raster order for a g^3 grid (cached; pure NumPy so
+    it is safe to call inside a jit trace)."""
+    if g not in _DILATE_PERMS:
+        import numpy as np
+
+        def compact(v):
+            v = v & np.uint32(0x49249249)
+            v = (v | (v >> 2)) & np.uint32(0xC30C30C3)
+            v = (v | (v >> 4)) & np.uint32(0x0F00F00F)
+            v = (v | (v >> 8)) & np.uint32(0xFF0000FF)
+            v = (v | (v >> 16)) & np.uint32(0x0000FFFF)
+            return v
+
+        codes = np.arange(g ** 3, dtype=np.uint32)
+        x, y, z = compact(codes), compact(codes >> 1), compact(codes >> 2)
+        flat = (z.astype(np.int64) * g + y) * g + x
+        to_spatial = np.empty(g ** 3, np.int32)
+        to_spatial[flat] = codes.astype(np.int32)   # spatial pos -> morton idx
+        _DILATE_PERMS[g] = (to_spatial, flat.astype(np.int32))
+    return _DILATE_PERMS[g]
+
+
+def coarse_bitfield_from_fine(fine_bitfield: jnp.ndarray, grid_size: int,
+                              cascades: int) -> jnp.ndarray:
+    """Build a dilated half-resolution occupancy bitfield from the fine one.
+
+    Key structural property of Morton order: the 8 children of a coarse
+    (2x-pooled) cell are consecutive fine codes, i.e. exactly one BYTE of the
+    packed fine bitfield — so the un-dilated coarse occupancy is simply
+    ``fine_byte != 0``. The coarse grid is then dilated by one cell (3^3 max)
+    so that testing the single coarse cell at a march stratum's center
+    conservatively covers every fine rung in the stratum (see
+    ray_march.march_rays_train_twolevel), and repacked to bits.
+
+    Returns:
+        (cascades * (grid_size//2)^3 // 8,) uint8.
+    """
+    g2 = grid_size // 2
+    per = g2 ** 3
+    coarse = (fine_bitfield.reshape(cascades, per) != 0)
+    to_spatial, to_morton = _morton_spatial_perms(g2)
+    out = []
+    for c in range(cascades):
+        spatial = coarse[c][jnp.asarray(to_spatial)].reshape(g2, g2, g2)
+        d = spatial
+        for axis in range(3):
+            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+        # jnp.roll wraps; boundary wrap marks a few spurious edge cells
+        # occupied — conservative, never drops a sample
+        out.append(d.reshape(-1)[jnp.asarray(to_morton)])
+    coarse_morton = jnp.stack(out).reshape(-1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return (coarse_morton.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
+
 def bitfield_lookup(bitfield: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Test occupancy bit ``idx`` in a packed bitfield.
 

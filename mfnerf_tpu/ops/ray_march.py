@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .morton import bitfield_lookup, morton3d
-from .stepping import calc_dt, mip_from_dt, mip_from_pos, t_ladder
+from .stepping import SQRT3, calc_dt, mip_from_dt, mip_from_pos, t_ladder
 
 
 class MarchResults(NamedTuple):
@@ -155,6 +155,125 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
                         rm_samples=n_samples.sum())
 
 
+def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
+                              coarse_bitfield, scale, exp_step_factor,
+                              grid_size, max_samples, noise, n_rungs, s_max,
+                              stratum, s_strata=32) -> MarchResults:
+    """Two-level training march: coarse strata first, fine rungs second.
+
+    Random gathers are the dominant marching cost on TPU (~7 ns each
+    regardless of table size, docs/TPU_NOTES.md), so instead of testing the
+    occupancy bitfield at every one of the K~1000 ladder rungs per ray
+    (raymarching.cu:166-332 can afford this; XLA cannot), the ladder is cut
+    into strata of ``stratum`` rungs:
+
+    1. ONE dilated-coarse-grid lookup per stratum center (K/stratum gathers);
+       dilation makes this a strict superset test (see
+       morton.coarse_bitfield_from_fine + twolevel_stratum).
+    2. the first ``s_strata`` surviving strata are compacted and only their
+       rungs get exact fine-bitfield tests (s_strata*stratum gathers).
+    3. the surviving rungs compact into the (N, s_max) sample rows exactly as
+       the one-level march.
+
+    Sample-for-sample identical to :func:`march_rays_train` whenever a ray's
+    occupied-coarse strata fit the ``s_strata`` budget (the parity test
+    asserts this); rays crossing more occupied strata truncate earlier —
+    the same kind of cap the reference applies at MAX_SAMPLES.
+    """
+    n = rays_o.shape[0]
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    valid_ray = t1 >= 0
+    dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, scale)
+    t_start = jnp.where(valid_ray, t1 + dt0 * noise, 0.0)
+
+    # ---- stage A: coarse stratum tests
+    n_strata = -(-n_rungs // stratum)
+    g_c = grid_size // 2
+    centers = (jnp.arange(n_strata, dtype=jnp.float32) * stratum
+               + (stratum - 1) / 2.0)
+    t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
+                   grid_size, scale)                              # (N, A)
+    xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
+                    g_c - 1.0).astype(jnp.int32)
+    occ_c = bitfield_lookup(coarse_bitfield,
+                            morton3d(nxyz).astype(jnp.int32))
+    # stratum is live if its first rung is before the exit
+    t_first = t_ladder(t_start,
+                       jnp.arange(n_strata, dtype=jnp.float32) * stratum,
+                       exp_step_factor, max_samples, grid_size, scale)
+    occ_c = occ_c & (t_first < t2[:, None]) & valid_ray[:, None]
+
+    csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
+    j_sel = jnp.minimum(compact_rung_indices(csum_a, s_strata),
+                        n_strata - 1)                             # (N, SA)
+    sel_mask = (jnp.arange(1, s_strata + 1, dtype=jnp.int32)[None, :]
+                <= csum_a[:, -1][:, None])
+
+    # ---- stage B: exact fine tests inside the selected strata
+    ks = (j_sel[:, :, None] * stratum
+          + jnp.arange(stratum, dtype=jnp.int32)[None, None, :]
+          ).reshape(n, s_strata * stratum)                        # (N, SB)
+    ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
+                      scale)
+    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size, scale)
+    xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+    occ = _occupancy_at(xyz, dt_all, density_bitfield, 1, scale, grid_size)
+    occ = (occ & (ts_all < t2[:, None])
+           & jnp.repeat(sel_mask, stratum, axis=1))
+
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    n_total = jnp.minimum(csum[:, -1], max_samples)
+    n_samples = jnp.minimum(n_total, s_max).astype(jnp.int32)
+
+    queries = jnp.arange(1, s_max + 1, dtype=jnp.int32)
+    mask = queries[None, :] <= n_samples[:, None]
+
+    # rung of the s-th sample: exactly one candidate b has csum==s+1 AND occ
+    # — select it with a chunked compare-reduce (a take_along_axis here
+    # would be 1M more random gathers, the very cost this march avoids)
+    sb = s_strata * stratum
+    k_sel = jnp.zeros((n, s_max), jnp.int32)
+    sval = jnp.where(occ, csum, 0)          # 0 never matches queries
+    for b0 in range(0, sb, 128):
+        blk_s = sval[:, b0:b0 + 128, None]
+        blk_k = ks[:, b0:b0 + 128, None]
+        k_sel = k_sel + jnp.sum(
+            jnp.where(blk_s == queries[None, None, :], blk_k, 0),
+            axis=1, dtype=jnp.int32)
+    ts = t_ladder(t_start, k_sel, exp_step_factor, max_samples, grid_size,
+                  scale)
+    deltas = calc_dt(ts, exp_step_factor, max_samples, grid_size, scale)
+    ts = jnp.where(mask, ts, 0.0)
+    deltas = jnp.where(mask, deltas, 0.0)
+    xyzs = jnp.where(mask[..., None],
+                     rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                     0.0)
+    return MarchResults(xyzs=xyzs, dirs=rays_d, deltas=deltas, ts=ts,
+                        mask=mask, n_samples=n_samples,
+                        rm_samples=n_samples.sum())
+
+
+def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,
+                     cascades) -> int:
+    """Static stratum length (rungs per coarse test) for two-level marching,
+    or 0 when the two-level path can't be conservative.
+
+    Conservativeness: the dilated coarse grid (cell size 4*scale/G, +-1-cell
+    dilation) must cover every rung within half a stratum of the stratum
+    center, so (stratum/2)*dt_min <= 4*scale/G. Only the single-cascade
+    uniform-dt regime (synthetic scenes: exp_step_factor == 0) is supported;
+    real scenes keep the exact one-level march.
+    """
+    if exp_step_factor != 0.0 or cascades != 1:
+        return 0
+    dt_min = SQRT3 / max_samples
+    cell = 4.0 * scale / grid_size
+    stratum = int(2.0 * cell / dt_min)
+    stratum = min(stratum, 8)
+    return stratum if stratum >= 2 else 0
+
+
 class WindowMarchResults(NamedTuple):
     xyzs: jnp.ndarray      # (C, S, 3)
     deltas: jnp.ndarray    # (C, S)
@@ -163,6 +282,97 @@ class WindowMarchResults(NamedTuple):
     n_samples: jnp.ndarray  # (C,) int32 emitted this window (<= S)
     cursor: jnp.ndarray    # (C,) int32 next rung to inspect after this window
     exhausted: jnp.ndarray  # (C,) bool ray passed its exit before the cursor
+
+
+def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
+                               density_bitfield, coarse_bitfield, scale,
+                               exp_step_factor, grid_size, max_samples,
+                               n_window, s_cap, stratum, s_strata=None
+                               ) -> WindowMarchResults:
+    """Two-level variant of :func:`march_rays_window` (single cascade,
+    uniform dt): coarse-test the window's strata, fine-test only the first
+    ``s_strata`` surviving strata. The cursor resumes after the s_cap-th
+    emitted sample, or at the first UNEXAMINED coarse-occupied stratum, or at
+    the window end — never skipping untested occupancy."""
+    if s_strata is None:
+        s_strata = max(2, -(-2 * s_cap // stratum))
+    c = rays_o.shape[0]
+    n_strata = -(-n_window // stratum)
+    g_c = grid_size // 2
+
+    jj = jnp.arange(n_strata, dtype=jnp.float32)
+    centers = cursor[:, None] + jj[None, :] * stratum + (stratum - 1) / 2.0
+    t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
+                   grid_size, scale)
+    xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
+                    g_c - 1.0).astype(jnp.int32)
+    occ_c = bitfield_lookup(coarse_bitfield,
+                            morton3d(nxyz).astype(jnp.int32))
+    t_first = t_ladder(t_start, cursor[:, None] + jj[None, :] * stratum,
+                       exp_step_factor, max_samples, grid_size, scale)
+    occ_c = occ_c & (t_first < t2[:, None])
+
+    csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
+    n_occ_strata = csum_a[:, -1]
+    j_sel = jnp.minimum(compact_rung_indices(csum_a, s_strata),
+                        n_strata - 1)
+    sel_mask = (jnp.arange(1, s_strata + 1, dtype=jnp.int32)[None, :]
+                <= n_occ_strata[:, None])
+
+    ks = (cursor[:, None, None] + j_sel[:, :, None] * stratum
+          + jnp.arange(stratum, dtype=jnp.int32)[None, None, :]
+          ).reshape(c, s_strata * stratum)
+    ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
+                      scale)
+    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size, scale)
+    xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+    occ = _occupancy_at(xyz, dt_all, density_bitfield, 1, scale, grid_size)
+    occ = occ & (ts_all < t2[:, None]) & jnp.repeat(sel_mask, stratum, axis=1)
+
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    n_found = csum[:, -1]
+    n_samples = jnp.minimum(n_found, s_cap).astype(jnp.int32)
+
+    queries = jnp.arange(1, s_cap + 1, dtype=jnp.int32)
+    mask = queries[None, :] <= n_samples[:, None]
+    sb = s_strata * stratum
+    k_sel = jnp.zeros((c, s_cap), jnp.int32)
+    sval = jnp.where(occ, csum, 0)
+    for b0 in range(0, sb, 128):
+        blk_s = sval[:, b0:b0 + 128, None]
+        blk_k = ks[:, b0:b0 + 128, None]
+        k_sel = k_sel + jnp.sum(
+            jnp.where(blk_s == queries[None, None, :], blk_k, 0),
+            axis=1, dtype=jnp.int32)
+
+    ts = t_ladder(t_start, k_sel, exp_step_factor, max_samples, grid_size,
+                  scale)
+    deltas = calc_dt(ts, exp_step_factor, max_samples, grid_size, scale)
+    ts = jnp.where(mask, ts, 0.0)
+    deltas = jnp.where(mask, deltas, 0.0)
+    xyzs = jnp.where(mask[..., None],
+                     rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                     0.0)
+
+    # cursor: past the s_cap-th sample if capped; else past the last
+    # EXAMINED stratum — which is the (s_strata)-th occupied one when the
+    # strata budget truncated, or the window end otherwise
+    last_k = jnp.max(jnp.where(mask, k_sel, 0), axis=1)
+    trunc_strata = n_occ_strata > s_strata
+    # stratum index of the (s_strata+1)-th occupied stratum (first unexamined)
+    j_next = jnp.minimum(
+        compact_rung_indices(csum_a, s_strata + 1)[:, -1], n_strata - 1)
+    cursor_after = jnp.where(
+        trunc_strata, cursor + j_next * stratum, cursor + n_window)
+    cursor_new = jnp.where(n_found > s_cap, last_k + 1,
+                           cursor_after).astype(jnp.int32)
+    t_next = t_ladder(t_start, cursor_new[:, None], exp_step_factor,
+                      max_samples, grid_size, scale)[:, 0]
+    exhausted = t_next >= t2
+    return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
+                              n_samples=n_samples, cursor=cursor_new,
+                              exhausted=exhausted)
 
 
 def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,

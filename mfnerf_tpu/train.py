@@ -439,7 +439,7 @@ def main(hparams):
             "opt_state": system.opt_state})
         system.params = loaded["params"]
         if "occ" in loaded:
-            system.occ = loaded["occ"]
+            system.occ = loaded["occ"].refresh_coarse(system.model_cfg)
         if "opt_state" in loaded and not hparams.val_only:
             system.opt_state = loaded["opt_state"]
         system.global_step = loaded["step"]

@@ -78,7 +78,7 @@ class NGPGUI:
                            like={"params": self.params, "occ": self.occ})
         self.params = loaded["params"]
         if "occ" in loaded and not isinstance(loaded["occ"], dict):
-            self.occ = loaded["occ"]
+            self.occ = loaded["occ"].refresh_coarse(system.model_cfg)
         exp_step_factor = (1 / 256 if hparams.dataset_name
                            in ["colmap", "nerfpp"] else 0.0)
         self.rcfg = RenderConfig(

@@ -28,9 +28,9 @@ def _setup(seed=0, occ_fill=0x33):
     rng = np.random.default_rng(seed)
     bits = rng.integers(0, 256, occ.density_bitfield.shape,
                         dtype=np.uint8) & occ_fill
-    occ = OccupancyState(density_grid=occ.density_grid,
-                         density_bitfield=jnp.asarray(bits),
-                         count_grid=occ.count_grid)
+    import dataclasses
+    occ = dataclasses.replace(
+        occ, density_bitfield=jnp.asarray(bits)).refresh_coarse(cfg)
 
     n = 512
     key = jax.random.PRNGKey(seed + 1)

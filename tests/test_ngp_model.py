@@ -64,10 +64,9 @@ def test_update_density_grid_warmup_and_ema():
     assert (g1 > 0).any()  # fresh random net has sigma = exp(~0) ~ 1
 
     # invisible cells (-1) must never be resurrected
-    marked = OccupancyState(
-        density_grid=occ.density_grid.at[0, :100].set(-1.0),
-        density_bitfield=occ.density_bitfield,
-        count_grid=occ.count_grid)
+    import dataclasses
+    marked = dataclasses.replace(
+        occ, density_grid=occ.density_grid.at[0, :100].set(-1.0))
     occ2 = model.update_density_grid(params, marked, jax.random.PRNGKey(2),
                                      density_threshold=0.01, warmup=True)
     assert (np.asarray(occ2.density_grid)[0, :100] == -1).all()

@@ -1,0 +1,100 @@
+"""Two-level (coarse-strata) training march vs the one-level exact march.
+
+The coarse stage is a strict superset test (dilated half-res bitfield), so
+whenever a ray's occupied strata fit the s_strata budget the emitted sample
+set must be IDENTICAL to the one-level march.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfnerf_tpu.ops.morton import coarse_bitfield_from_fine
+from mfnerf_tpu.ops.ray_march import (march_rays_train,
+                                      march_rays_train_twolevel,
+                                      twolevel_stratum)
+from mfnerf_tpu.ops.stepping import max_ladder_steps
+
+SCALE = 0.5
+GRID = 64
+MAX_SAMPLES = 512  # dt_min = sqrt(3)/512
+
+
+def _setup(occ_density=0.02, seed=0, n=256):
+    rng = np.random.default_rng(seed)
+    n_bytes = GRID ** 3 // 8
+    fine = (rng.random(n_bytes * 8) < occ_density).astype(np.uint8)
+    fine_bits = jnp.asarray(
+        (fine.reshape(-1, 8) << np.arange(8)).sum(1).astype(np.uint8))
+    coarse_bits = coarse_bitfield_from_fine(fine_bits, GRID, 1)
+
+    key = jax.random.PRNGKey(seed + 1)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.3]]), (n, 1))
+    d = jax.random.normal(key, (n, 3)) * jnp.asarray([0.35, 0.35, 0.0]) \
+        + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    from mfnerf_tpu.ops.intersection import ray_aabb_intersect_single
+    hits_t = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
+                                       jnp.full(3, SCALE))
+    noise = jax.random.uniform(jax.random.PRNGKey(9), (n,))
+    return fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise
+
+
+def test_stratum_selection():
+    assert twolevel_stratum(0.0, 1024, 0.5, 128, 1) == 8
+    assert twolevel_stratum(0.0, 256, 0.5, 128, 1) == 4
+    assert twolevel_stratum(1 / 256, 1024, 0.5, 128, 1) == 0  # real scenes
+    assert twolevel_stratum(0.0, 1024, 4.0, 128, 4) == 0      # cascades
+
+
+@pytest.mark.parametrize("density", [0.005, 0.03])
+def test_twolevel_matches_onelevel(density):
+    fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise = _setup(density)
+    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    assert stratum >= 2
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    s_max = 64
+
+    one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
+                           0.0, GRID, MAX_SAMPLES, noise, k, s_max)
+    two = march_rays_train_twolevel(
+        rays_o, rays_d, hits_t, fine_bits, coarse_bits, SCALE, 0.0, GRID,
+        MAX_SAMPLES, noise, k, s_max, stratum, s_strata=64)
+
+    # rays whose occupied strata fit the budget must agree exactly
+    n1 = np.asarray(one.n_samples)
+    n2 = np.asarray(two.n_samples)
+    agree = n2 >= n1  # two-level may only lose samples via budget truncation
+    # with a generous budget, require exact agreement on nearly all rays
+    exact = (n1 == n2)
+    assert exact.mean() > 0.98, f"only {exact.mean():.2%} rays agree"
+    m = exact[:, None] & np.asarray(one.mask)
+    np.testing.assert_allclose(np.where(m, np.asarray(one.ts), 0),
+                               np.where(m, np.asarray(two.ts), 0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.where(m, np.asarray(one.deltas), 0),
+                               np.where(m, np.asarray(two.deltas), 0),
+                               rtol=1e-5, atol=1e-7)
+    assert agree.all() or exact.mean() > 0.98
+
+
+def test_twolevel_budget_truncation_is_prefix():
+    """With a tiny strata budget, the emitted samples must be a PREFIX of the
+    one-level sample sequence (never out-of-order or fabricated)."""
+    fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise = _setup(0.08)
+    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
+                           0.0, GRID, MAX_SAMPLES, noise, k, 64)
+    two = march_rays_train_twolevel(
+        rays_o, rays_d, hits_t, fine_bits, coarse_bits, SCALE, 0.0, GRID,
+        MAX_SAMPLES, noise, k, 64, stratum, s_strata=4)
+    ts1, ts2 = np.asarray(one.ts), np.asarray(two.ts)
+    n2 = np.asarray(two.n_samples)
+    for i in range(ts1.shape[0]):
+        np.testing.assert_allclose(ts2[i, :n2[i]], ts1[i, :n2[i]],
+                                   rtol=1e-5, atol=1e-7)
