@@ -33,9 +33,10 @@ def main():
     ap.add_argument("--grid", type=str, default="LowRank",
                     help="encoder (LowRank is the TPU-native fast path; "
                          "Hash is gather/scatter-bound, see docs/TPU_NOTES.md)")
-    ap.add_argument("--bf16", action="store_true", default=True)
-    ap.add_argument("--fp32", dest="bf16", action="store_false",
-                    help="disable bfloat16 matmul compute")
+    ap.add_argument("--bf16", action="store_true", default=False,
+                    help="bfloat16 matmul compute — measured 8x SLOWER than "
+                         "fp32 on this encoder's shapes (VPU bf16 tiling of "
+                         "the (N,K) hat bases dominates; docs/TPU_NOTES.md)")
     args = ap.parse_args()
 
     import jax

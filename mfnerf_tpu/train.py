@@ -243,26 +243,48 @@ class NeRFSystem:
         zero_metrics = {k: jnp.zeros(()) for k in
                         ("loss", "psnr", "rm_s", "vr_s", "lr")}
 
-        @partial(jax.jit, static_argnums=(8,), donate_argnums=(0, 1, 2))
-        def run(params, opt_state, occ, poses, directions, rays, key, step0,
-                n_steps):
+        # Blocks of [grid update; UPDATE_INTERVAL train steps] rather than a
+        # per-step lax.cond: XLA may lower a cond inside fori_loop by
+        # executing both branches (measured: the update branch ran every
+        # step, 9.6 -> 76 ms/step), so the update is hoisted to block
+        # structure instead. Caller must pass step0 % UPDATE_INTERVAL == 0.
+        def train_block(params, opt_state, occ, poses, directions, rays, key,
+                        block_step0, n):
             def body(i, carry):
-                params, opt_state, occ, key, _ = carry
-                step = step0 + i
-                key, k_up, k_batch, k_step = jax.random.split(key, 4)
-                occ = jax.lax.cond(
-                    step % UPDATE_INTERVAL == 0,
-                    lambda o: update_grid(params, o, k_up, False, erode),
-                    lambda o: o, occ)
+                params, opt_state, key, _ = carry
+                key, k_batch, k_step = jax.random.split(key, 3)
                 batch = sample_batch(rays, k_batch)
                 params, opt_state, metrics = train_step(
                     params, opt_state, occ, poses, directions, batch, k_step,
-                    step)
+                    block_step0 + i)
+                return params, opt_state, key, metrics
+
+            return jax.lax.fori_loop(
+                0, n, body, (params, opt_state, key, zero_metrics))
+
+        @partial(jax.jit, static_argnums=(8,), donate_argnums=(0, 1, 2))
+        def run(params, opt_state, occ, poses, directions, rays, key, step0,
+                n_steps):
+            n_blocks, tail = divmod(n_steps, UPDATE_INTERVAL)
+
+            def block(b, carry):
+                params, opt_state, occ, key, _ = carry
+                key, k_up, k_blk = jax.random.split(key, 3)
+                occ = update_grid(params, occ, k_up, False, erode)
+                params, opt_state, _, metrics = train_block(
+                    params, opt_state, occ, poses, directions, rays, k_blk,
+                    step0 + b * UPDATE_INTERVAL, UPDATE_INTERVAL)
                 return params, opt_state, occ, key, metrics
 
-            params, opt_state, occ, _, metrics = jax.lax.fori_loop(
-                0, n_steps, body,
+            params, opt_state, occ, key, metrics = jax.lax.fori_loop(
+                0, n_blocks, block,
                 (params, opt_state, occ, key, zero_metrics))
+            if tail:
+                key, k_up, k_blk = jax.random.split(key, 3)
+                occ = update_grid(params, occ, k_up, False, erode)
+                params, opt_state, _, metrics = train_block(
+                    params, opt_state, occ, poses, directions, rays, k_blk,
+                    step0 + n_blocks * UPDATE_INTERVAL, tail)
             return params, opt_state, occ, metrics
 
         return run
