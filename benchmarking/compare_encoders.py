@@ -51,6 +51,10 @@ def run_one(grid, args, overrides=None):
     key = jax.random.PRNGKey(1)
     metrics = None
 
+    # grid-warmup phase per-step (different update program); then the whole
+    # measured window runs as ONE fused dispatch — per-step dispatch timing
+    # over the tunneled chip is meaningless and its executions unreliable
+    # (docs/TPU_NOTES.md "axon tunnel" notes)
     def steps(n, step0):
         nonlocal key, metrics
         for s in range(step0, step0 + n):
@@ -65,14 +69,31 @@ def run_one(grid, args, overrides=None):
                 system.params, system.opt_state, system.occ, system.poses,
                 system.directions, batch, sub, s)
 
-    warm = min(300, args.steps // 4)
+    warm = max(WARMUP_STEPS, min(300, args.steps // 4))
     steps(warm, 0)
     jax.block_until_ready(metrics["loss"])
+
+    fused = system.make_fused_train_fn(
+        n_img=len(system.train_dataset.poses), hw=args.wh * args.wh)
+    rays = jnp.asarray(system.train_dataset.rays)
+    n_meas = args.steps - warm
+
+    def run_fused(n, step0):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return fused(system.params, system.opt_state, system.occ,
+                     system.poses, system.directions, rays, sub, step0, n)
+
+    # compile (advances training), then measure a second call
+    system.params, system.opt_state, system.occ, metrics = run_fused(
+        n_meas, warm)
+    jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
-    steps(args.steps - warm, warm)
+    system.params, system.opt_state, system.occ, metrics = run_fused(
+        n_meas, warm + n_meas)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    ms_per_step = dt / (args.steps - warm) * 1e3
+    ms_per_step = dt / n_meas * 1e3
 
     # test PSNR on the held-out views
     psnrs = []

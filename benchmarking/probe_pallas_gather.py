@@ -95,22 +95,26 @@ def main():
     except Exception as e:
         print(f"pallas one-hot FAILED: {type(e).__name__}: {str(e)[:300]}")
 
-    # formulation 2: direct advanced indexing of the table ref by a vector
+    # formulation 2: take_along_axis with idx broadcast to the table shape
+    # (Mosaic's dynamic_gather constraint: idx shape == table shape; the
+    # table's lane dim is padded to TILE so each lane can request any entry)
     def k_index(table_ref, idx_ref, frac_ref, out_ref):
-        idxs = idx_ref[:]
-        t = table_ref[:]                      # (RANK, K)
-        t0 = jnp.take(t, idxs, axis=1)        # (RANK, TILE)
-        t1 = jnp.take(t, idxs + 1, axis=1)
+        idxs = idx_ref[:]                                    # (TILE,)
+        t = table_ref[:]                                     # (RANK, TILE)
+        idx2 = jnp.broadcast_to(idxs[None, :], (RANK, TILE))
+        t0 = jnp.take_along_axis(t, idx2, axis=1)            # (RANK, TILE)
+        t1 = jnp.take_along_axis(t, idx2 + 1, axis=1)
         f = frac_ref[:][None, :]
         out_ref[:] = (t0 * (1 - f) + t1 * f).T
 
     @jax.jit
     def run_index(table, idx, frac):
+        table_padded = jnp.pad(table, ((0, 0), (0, TILE - K)))
         return pl.pallas_call(
             k_index,
             grid=(N // TILE,),
             in_specs=[
-                pl.BlockSpec((RANK, K), lambda i: (0, 0),
+                pl.BlockSpec((RANK, TILE), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE,), lambda i: (i,),
                              memory_space=pltpu.VMEM),
@@ -120,7 +124,7 @@ def main():
             out_specs=pl.BlockSpec((TILE, RANK), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N, RANK), jnp.float32),
-        )(table, idx, frac)
+        )(table_padded, idx, frac)
 
     try:
         got = np.asarray(run_index(table, idx, frac))

@@ -356,29 +356,33 @@ class NGP:
 
     def update_density_grid(self, params, occ: OccupancyState, key,
                             density_threshold, warmup=False, decay=0.95,
-                            erode=False) -> OccupancyState:
+                            erode=False, sparse=False) -> OccupancyState:
         """Refresh the density grid from the live field and repack the
         bitfield. Parity: networks.py:242-271.
 
-        warmup: evaluate every cell. Afterwards: M = G^3/4 uniformly random
-        cells + M cells drawn uniformly from currently-occupied cells (exact
-        inverse-CDF sampling; the reference uses nonzero()+randint which is
-        the same distribution with dynamic shapes).
+        warmup (and the default steady state): evaluate EVERY cell. The
+        reference's steady state samples G^3/4 uniform + G^3/4 occupied
+        cells instead (networks.py:171-197) — a GPU-economics choice: on TPU
+        the sparse path's scatter-max costs ~60 ns/update (~60 ms per
+        refresh) while simply evaluating all cells densely costs ~27 ms of
+        MXU time and never misses a cell. ``sparse=True`` restores the
+        reference's exact sampled semantics (inverse-CDF over the occupancy
+        mask; kept for parity testing).
         """
         cfg = self.cfg
         n = cfg.n_cells
         grid = occ.density_grid
 
-        def eval_cells(cascade, indices, coords, key):
+        def eval_cells(cascade, coords, key):
             xyzs_w = self._cell_world_coords(coords, cascade, key)
             return self.density(params, xyzs_w)
 
         tmp = jnp.zeros_like(grid)
-        if warmup:
+        if not sparse:  # dense refresh (warmup and TPU steady state)
             coords = self.all_cell_coords()
             for c in range(cfg.cascades):
                 key, sub = jax.random.split(key)
-                sig = eval_cells(c, None, coords, sub)
+                sig = eval_cells(c, coords, sub)
                 tmp = tmp.at[c].set(sig)
         else:
             m = n // 4
@@ -396,7 +400,7 @@ class NGP:
                 idx_occupied = jnp.where(n_occ > 0, idx_occupied, idx_uniform)
                 indices = jnp.concatenate([idx_uniform, idx_occupied])
                 coords = morton3d_invert(indices.astype(jnp.uint32))
-                sig = eval_cells(c, indices, coords, k3)
+                sig = eval_cells(c, coords, k3)
                 tmp = tmp.at[c, indices].max(sig)
         if erode:
             # decay more the cells seen by few cameras (networks.py:260-262)
