@@ -126,14 +126,16 @@ def main():
         batch = system.test_dataset[0]
         rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
                                   jnp.asarray(batch["pose"]))
+        camera = (system.test_dataset.K, batch["pose"],
+                  system.test_dataset.img_wh)
         res = render_test(system.model, system.params, system.occ, rays_o,
-                          rays_d, system.rcfg)  # compile
+                          rays_d, system.rcfg, camera=camera)  # compile
         jax.block_until_ready(res["rgb"])
         t0 = time.perf_counter()
         n_frames = 5
         for _ in range(n_frames):
             res = render_test(system.model, system.params, system.occ,
-                              rays_o, rays_d, system.rcfg)
+                              rays_o, rays_d, system.rcfg, camera=camera)
             jax.block_until_ready(res["rgb"])
         fps = n_frames / (time.perf_counter() - t0)
         print(f"render fps ({args.wh}x{args.wh}): {fps:.2f}",

@@ -62,7 +62,8 @@ def main():
         rays_o, rays_d = get_rays(directions, jnp.asarray(batch["pose"]))
         t0 = time.perf_counter()
         res = render_test(system.model, params, occ, rays_o, rays_d,
-                          system.rcfg)
+                          system.rcfg,
+                          camera=(dataset.K, batch["pose"], dataset.img_wh))
         jax.block_until_ready(res["rgb"])
         times.append(time.perf_counter() - t0)
         line = f"image {i}: {times[-1] * 1e3:.0f} ms"

@@ -165,9 +165,82 @@ def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg):
     return comp.rgb, comp.opacity, comp.depth, comp.vr_samples
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
+                           dilate=3):
+    """Splat occupied coarse cells into per-pixel-block [t_near, t_far].
+
+    The test-time empty-space skip re-thought for TPU: instead of testing
+    occupancy per ladder rung (random gathers at ~7 ns each), project every
+    occupied coarse cell into the camera once per frame (a matmul + one
+    262k-element scatter-min/max) and bound each 16x16-pixel block's depth
+    range conservatively. Rays then start marching at their block's t_near
+    and exhaust at t_far. Dilation by ``dilate`` blocks plus a near-camera
+    fallback keep the bound a strict superset of visible content.
+
+    Args:
+        cfg: NGPConfig (static; single cascade).
+        occ_bitfield: fine density bitfield (cell occupied iff its byte != 0
+            gives the 2x-pooled coarse occupancy — Morton child property).
+        k_cam: (3, 3) intrinsics. pose: (3, 4) c2w.
+        img_wh, block, dilate: static ints.
+    Returns:
+        (t_near, t_far) float32 (H*W,) per-pixel conservative ranges
+        (inf/-inf where the block sees nothing).
+    """
+    from ..ops.morton import morton3d_invert
+    w, h = img_wh
+    g_c = cfg.grid_size // 2
+    occ_cells = occ_bitfield.reshape(-1)[:g_c ** 3] != 0     # coarse, morton
+    coords = morton3d_invert(jnp.arange(g_c ** 3, dtype=jnp.uint32))
+    centers = ((coords.astype(jnp.float32) + 0.5) / g_c * 2.0 - 1.0) \
+        * cfg.scale                                           # (M, 3)
+    r_cell = SQRT3 * cfg.scale / g_c                          # half-diagonal
+
+    rot = pose[:3, :3]
+    cam_t = pose[:3, 3]
+    xc = (centers - cam_t) @ rot                              # camera coords
+    depth = xc[:, 2]
+    uv = (xc @ k_cam.T)[:, :2] / jnp.maximum(depth, 1e-6)[:, None]
+
+    nbx, nby = -(-w // block), -(-h // block)
+    margin = float(block)
+    valid = (occ_cells & (depth > r_cell)
+             & (uv[:, 0] > -margin) & (uv[:, 0] < w + margin)
+             & (uv[:, 1] > -margin) & (uv[:, 1] < h + margin))
+    bu = jnp.clip(uv[:, 0].astype(jnp.int32) // block, 0, nbx - 1)
+    bv = jnp.clip(uv[:, 1].astype(jnp.int32) // block, 0, nby - 1)
+    bidx = bv * nbx + bu
+    near = jnp.full((nby * nbx,), jnp.inf).at[bidx].min(
+        jnp.where(valid, depth - r_cell, jnp.inf))
+    far = jnp.full((nby * nbx,), -jnp.inf).at[bidx].max(
+        jnp.where(valid, depth + r_cell, -jnp.inf))
+
+    near = near.reshape(nby, nbx)
+    far = far.reshape(nby, nbx)
+    for axis in (0, 1):
+        for _ in range(dilate):
+            near = jnp.minimum(near, jnp.minimum(
+                jnp.roll(near, 1, axis), jnp.roll(near, -1, axis)))
+            far = jnp.maximum(far, jnp.maximum(
+                jnp.roll(far, 1, axis), jnp.roll(far, -1, axis)))
+
+    # near-camera fallback: cells closer than the dilation can cover ->
+    # disable the skip entirely for this frame (cursor starts at the box)
+    too_close = (occ_cells & (depth < (dilate * block / 2) * r_cell
+                              * 2.0)).any()
+    near = jnp.where(too_close, 0.0, near)
+    far = jnp.where(too_close, jnp.inf, far)
+
+    # block grid -> per pixel
+    near_pix = jnp.repeat(jnp.repeat(near, block, 0), block, 1)[:h, :w]
+    far_pix = jnp.repeat(jnp.repeat(far, block, 0), block, 1)[:h, :w]
+    return near_pix.reshape(-1), far_pix.reshape(-1)
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def _render_test_alive(model, params, occ, rays_o, rays_d,
-                       rcfg: RenderConfig):
+                       rcfg: RenderConfig, t_near=None, t_far=None):
     """Multi-round alive-ray renderer — the whole schedule is ONE dispatch.
 
     The XLA re-design of the reference's test loop (rendering.py:46-118 +
@@ -195,6 +268,15 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     rgb = jnp.zeros((n, 3), jnp.float32)
     cursor = jnp.zeros((n,), jnp.int32)
     alive = valid
+    if t_near is not None and rcfg.exp_step_factor == 0:
+        # rasterized block ranges: jump the cursor to the first rung at or
+        # past t_near and clamp the exit to t_far (both conservative)
+        dt_min = SQRT3 / rcfg.max_samples
+        cursor = jnp.clip(
+            jnp.ceil((t_near - t_start) / dt_min), 0, k_total
+        ).astype(jnp.int32)
+        t2 = jnp.minimum(t2, t_far)
+        alive = alive & (t_near < t2)
     vr_total = jnp.int32(0)
 
     for i, (frac, w_len, s_cap) in enumerate(rcfg.rounds):
@@ -244,14 +326,28 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     return rgb, opacity, depth, vr_total
 
 
-def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig):
+def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
+                camera=None):
     """Full-image test rendering via the multi-round alive-ray renderer.
 
     Parity target: __render_rays_test (rendering.py:46-118). Background
-    blending matches reference rendering.py:112-116.
+    blending matches reference rendering.py:112-116. When ``camera``
+    (K, c2w pose, img_wh) is given and the scene is single-cascade
+    synthetic, a per-frame rasterization of occupied cells bounds each
+    pixel block's [t_near, t_far] so rays skip empty space without
+    occupancy gathers (see rasterize_block_ranges).
     """
+    t_near = t_far = None
+    if (camera is not None and rcfg.exp_step_factor == 0
+            and model.cfg.cascades == 1):
+        k_cam, pose, img_wh = camera
+        t_near, t_far = rasterize_block_ranges(
+            model.cfg, occ.density_bitfield,
+            jnp.asarray(k_cam, jnp.float32),
+            jnp.asarray(pose, jnp.float32)[:3, :4],
+            (int(img_wh[0]), int(img_wh[1])))
     rgb, opacity, depth, vr_total = _render_test_alive(
-        model, params, occ, rays_o, rays_d, rcfg)
+        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far)
     if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
         rgb_bg = jnp.ones(3)
     else:

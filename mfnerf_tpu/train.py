@@ -82,7 +82,8 @@ class NeRFSystem:
             max_samples=getattr(hparams, "max_samples", MAX_SAMPLES),
             s_max_train=hparams.s_max_train,
             s_max_test=hparams.s_max_test,
-            test_chunk=hparams.test_chunk)
+            test_chunk=hparams.test_chunk,
+            s_strata=max(8, hparams.s_max_train // 4))
         self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
         self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
         self.mesh = make_mesh(hparams.num_gpus)
@@ -391,8 +392,10 @@ class NeRFSystem:
             rays_o, rays_d = get_rays(
                 jnp.asarray(self.test_dataset.directions),
                 jnp.asarray(batch["pose"]))
-            results = render_test(self.model, self.params, self.occ,
-                                  rays_o, rays_d, self.rcfg)
+            results = render_test(
+                self.model, self.params, self.occ, rays_o, rays_d, self.rcfg,
+                camera=(self.test_dataset.K, batch["pose"],
+                        self.test_dataset.img_wh))
             rgb_pred = np.asarray(results["rgb"]).reshape(h, w, 3)
             logs = {}
             if "rgb" in batch:

@@ -98,7 +98,8 @@ class NGPGUI:
         rays_o, rays_d = get_rays(jnp.asarray(directions),
                                   jnp.asarray(cam.pose[:3], jnp.float32))
         results = render_test(self.model, self.params, self.occ,
-                              rays_o, rays_d, self.rcfg)
+                              rays_o, rays_d, self.rcfg,
+                              camera=(cam.K, cam.pose[:3], (cam.W, cam.H)))
         rgb = np.asarray(results["rgb"]).reshape(self.H, self.W, 3)
         depth = np.asarray(results["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t

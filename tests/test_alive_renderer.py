@@ -87,3 +87,35 @@ def test_alive_handles_missing_rays():
     rgb = np.asarray(res["rgb"])
     np.testing.assert_allclose(rgb[::2], 1.0, atol=1e-6)  # white bg
     assert np.asarray(res["opacity"])[::2].max() == 0.0
+
+
+def test_rasterized_ranges_match_full_march():
+    """render_test with the per-frame rasterized [t_near, t_far] prepass must
+    reproduce the no-prepass image (the block ranges are conservative)."""
+    import jax
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.ngp import NGP, NGPConfig, OccupancyState
+    from mfnerf_tpu.train import NeRFSystem  # noqa: F401 (env setup)
+    from mfnerf_tpu.utils.procedural import make_scene
+
+    scene = make_scene(n_train=2, n_test=1, wh=48, seed=3)
+    cfg = NGPConfig(grid="LowRank", lr_levels=2, lr_rank=8, lr_k_max=64,
+                    grid_size=32, scale=0.5)
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    occ = OccupancyState.create(cfg)
+    occ = model.update_density_grid(params, occ, jax.random.PRNGKey(1),
+                                    density_threshold=0.01, warmup=True)
+
+    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 16),) * 8)
+    directions = jnp.asarray(scene["directions"])
+    pose = jnp.asarray(scene["test_poses"][0])
+    rays_o, rays_d = get_rays(directions, pose)
+
+    plain = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    fast = render_test(model, params, occ, rays_o, rays_d, rcfg,
+                       camera=(scene["K"], pose, (48, 48)))
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(plain["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fast["opacity"]),
+                               np.asarray(plain["opacity"]), atol=2e-3)
