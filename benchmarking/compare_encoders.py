@@ -84,14 +84,25 @@ def run_one(grid, args, overrides=None):
         return fused(system.params, system.opt_state, system.occ,
                      system.poses, system.directions, rays, sub, step0, n)
 
-    # compile (advances training), then measure a second call
-    system.params, system.opt_state, system.occ, metrics = run_fused(
-        n_meas, warm)
-    jax.block_until_ready(metrics["loss"])
+    # chunk dispatches to ~2 min — very long single requests have been seen
+    # to trip tunnel-side timeouts ("TPU device error")
+    chunk = 1600
+    n_chunks = -(-n_meas // chunk)
+    sizes = [chunk] * (n_meas // chunk) + ([n_meas % chunk]
+                                           if n_meas % chunk else [])
+    # compile both chunk sizes (advances training), then measure
+    step = warm
+    for n in sorted(set(sizes)):
+        system.params, system.opt_state, system.occ, metrics = run_fused(
+            n, step)
+        jax.block_until_ready(metrics["loss"])
+        step += n
     t0 = time.perf_counter()
-    system.params, system.opt_state, system.occ, metrics = run_fused(
-        n_meas, warm + n_meas)
-    jax.block_until_ready(metrics["loss"])
+    for n in sizes:
+        system.params, system.opt_state, system.occ, metrics = run_fused(
+            n, step)
+        jax.block_until_ready(metrics["loss"])
+        step += n
     dt = time.perf_counter() - t0
     ms_per_step = dt / n_meas * 1e3
 

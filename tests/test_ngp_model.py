@@ -119,3 +119,47 @@ def test_mark_invisible_cells():
     assert set(np.unique(grid)) <= {0.0, -1.0}
     cnt = np.asarray(occ.count_grid)[0]
     assert cnt.max() <= 1.0 and cnt[center].min() > 0
+
+
+def test_dense_update_superset_of_sparse():
+    """The dense refresh must mark occupied every cell the reference-style
+    sparse refresh marks (it evaluates a superset of cells; both share the
+    EMA/threshold logic)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = _tiny_cfg()
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    occ0 = OccupancyState.create(cfg)
+    occ0 = model.update_density_grid(params, occ0, jax.random.PRNGKey(1),
+                                     density_threshold=0.01, warmup=True)
+    dense = model.update_density_grid(params, occ0, jax.random.PRNGKey(2),
+                                      density_threshold=0.01)
+    sparse = model.update_density_grid(params, occ0, jax.random.PRNGKey(2),
+                                       density_threshold=0.01, sparse=True)
+    gd = np.asarray(dense.density_grid)
+    gs = np.asarray(sparse.density_grid)
+    # every sparse-refreshed value is <= the dense one up to jitter noise:
+    # both decay identically and dense additionally refreshes every cell
+    assert (gd >= gs * 0.94 - 1e-4).mean() > 0.999
+
+
+def test_coarse_bitfield_conservative():
+    """Every occupied fine cell's parent coarse cell (and its neighbors,
+    via dilation) must be set in the coarse bitfield."""
+    import jax.numpy as jnp
+    from mfnerf_tpu.ops.morton import (bitfield_lookup,
+                                       coarse_bitfield_from_fine, morton3d)
+    rng = np.random.default_rng(0)
+    g = 32
+    fine_bits = jnp.asarray(rng.integers(0, 256, g ** 3 // 8, dtype=np.uint8)
+                            & rng.integers(0, 2, g ** 3 // 8,
+                                           dtype=np.uint8) * 255)
+    coarse = coarse_bitfield_from_fine(fine_bits, g, 1)
+    fine_occ = np.asarray(bitfield_lookup(
+        fine_bits, jnp.arange(g ** 3, dtype=jnp.int32)))
+    # occupied fine morton code c -> parent coarse code c >> 3
+    parents = np.unique(np.nonzero(fine_occ)[0] >> 3)
+    got = np.asarray(bitfield_lookup(
+        coarse, jnp.asarray(parents, jnp.int32)))
+    assert got.all()
