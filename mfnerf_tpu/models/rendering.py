@@ -225,10 +225,13 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
             far = jnp.maximum(far, jnp.maximum(
                 jnp.roll(far, 1, axis), jnp.roll(far, -1, axis)))
 
-    # near-camera fallback: cells closer than the dilation can cover ->
-    # disable the skip entirely for this frame (cursor starts at the box)
-    too_close = (occ_cells & (depth < (dilate * block / 2) * r_cell
-                              * 2.0)).any()
+    # near-camera fallback: a cell's pixel footprint is ~f*r_cell/depth; the
+    # dilation covers dilate*block pixels of spill, so cells nearer than
+    # d_safe could leak outside the dilated blocks -> disable the skip for
+    # this frame (conservative full march)
+    f_max = jnp.maximum(k_cam[0, 0], k_cam[1, 1])
+    d_safe = f_max * r_cell / ((dilate - 0.5) * block)
+    too_close = (occ_cells & (depth < d_safe)).any()
     near = jnp.where(too_close, 0.0, near)
     far = jnp.where(too_close, jnp.inf, far)
 

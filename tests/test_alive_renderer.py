@@ -119,3 +119,6 @@ def test_rasterized_ranges_match_full_march():
                                np.asarray(plain["rgb"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(fast["opacity"]),
                                np.asarray(plain["opacity"]), atol=2e-3)
+    # and the prepass must actually engage (fewer marched samples), not
+    # silently fall back to the full march
+    assert fast["total_samples"] <= plain["total_samples"]
