@@ -103,14 +103,24 @@ def main():
                      system.poses, system.directions, rays, sub, step0,
                      n_steps)
 
-    # first call compiles (and advances training); second call is measured
-    system.params, system.opt_state, system.occ, m = run_fused(
-        args.steps, args.warmup_steps)
-    jax.block_until_ready(m["loss"])
+    # dispatch in ~96-step chunks: single device requests lasting more than
+    # ~0.5-1 min have been killed by the tunnel ("TPU device error"); the
+    # donated-state chain still forces full sequential execution, so timing
+    # across chunks measures true chip throughput
+    chunk = 96
+    sizes = [chunk] * (args.steps // chunk) + (
+        [args.steps % chunk] if args.steps % chunk else [])
+
+    step = args.warmup_steps
+    for n in sorted(set(sizes)):  # compile (advances training)
+        system.params, system.opt_state, system.occ, m = run_fused(n, step)
+        jax.block_until_ready(m["loss"])
+        step += n
 
     t0 = time.perf_counter()
-    system.params, system.opt_state, system.occ, m = run_fused(
-        args.steps, args.warmup_steps + args.steps)
+    for n in sizes:
+        system.params, system.opt_state, system.occ, m = run_fused(n, step)
+        step += n
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     rays_per_sec = args.steps * args.batch_size / dt

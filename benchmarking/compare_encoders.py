@@ -84,9 +84,9 @@ def run_one(grid, args, overrides=None):
         return fused(system.params, system.opt_state, system.occ,
                      system.poses, system.directions, rays, sub, step0, n)
 
-    # chunk dispatches to ~2 min — very long single requests have been seen
-    # to trip tunnel-side timeouts ("TPU device error")
-    chunk = 1600
+    # chunk dispatches to seconds — device requests beyond ~0.5-1 min have
+    # been killed by the tunnel ("TPU device error")
+    chunk = 96
     n_chunks = -(-n_meas // chunk)
     sizes = [chunk] * (n_meas // chunk) + ([n_meas % chunk]
                                            if n_meas % chunk else [])
@@ -97,12 +97,17 @@ def run_one(grid, args, overrides=None):
             n, step)
         jax.block_until_ready(metrics["loss"])
         step += n
+        print(f"compiled+ran chunk {n} (step {step}, "
+              f"psnr {float(metrics['psnr']):.2f})", file=sys.stderr,
+              flush=True)
     t0 = time.perf_counter()
     for n in sizes:
         system.params, system.opt_state, system.occ, metrics = run_fused(
             n, step)
         jax.block_until_ready(metrics["loss"])
         step += n
+        print(f"step {step}: psnr {float(metrics['psnr']):.2f}",
+              file=sys.stderr, flush=True)
     dt = time.perf_counter() - t0
     ms_per_step = dt / n_meas * 1e3
 
