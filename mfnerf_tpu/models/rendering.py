@@ -46,9 +46,17 @@ class RenderConfig:
     # each round is a static-shape program — the whole schedule jits as one
     # dispatch. The final rounds sweep the remaining ladder so stragglers
     # finish exactly.
-    rounds: tuple = ((1.0, 256, 8), (0.5, 256, 8), (0.25, 256, 16),
-                     (0.125, 512, 32), (0.0625, 1024, 64),
-                     (0.03125, 4096, 128), (0.015625, 4096, 256))
+    # tuned with the rasterized t-range prepass active (rays start at
+    # content): small early windows, fast capacity decay, full-ladder
+    # straggler rounds at tiny capacity
+    rounds: tuple = ((1.0, 64, 8), (0.375, 96, 8), (0.1875, 128, 16),
+                     (0.09375, 256, 32), (0.046875, 512, 64),
+                     (0.0234375, 1024, 128), (0.01171875, 4096, 256))
+    # without per-frame t-ranges rays may march long empty stretches before
+    # content: wider windows, slower capacity decay
+    rounds_full: tuple = ((1.0, 256, 8), (0.5, 256, 8), (0.25, 256, 16),
+                          (0.125, 512, 32), (0.0625, 1024, 64),
+                          (0.03125, 4096, 128), (0.015625, 4096, 256))
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -282,7 +290,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
         alive = alive & (t_near < t2)
     vr_total = jnp.int32(0)
 
-    for i, (frac, w_len, s_cap) in enumerate(rcfg.rounds):
+    schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
+    for i, (frac, w_len, s_cap) in enumerate(schedule):
         c = min(max(int(round(n * frac)), 1), n)
         w_len = min(w_len, k_total)
         if c == n:

@@ -46,7 +46,8 @@ def test_alive_matches_dense_with_full_capacity():
     # full capacity every round; enough window+samples to cover the ladder
     rcfg = RenderConfig(
         max_samples=128, s_max_test=256, test_chunk=512,
-        rounds=((1.0, 64, 16),) * 16)
+        rounds=((1.0, 64, 16),) * 16,
+        rounds_full=((1.0, 64, 16),) * 16)
     res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
     res_dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg)
     np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
@@ -66,7 +67,9 @@ def test_alive_shrinking_schedule_matches_when_rays_exhaust():
     rcfg = RenderConfig(
         max_samples=128, s_max_test=256, test_chunk=512,
         rounds=((1.0, 32, 8), (1.0, 32, 8), (1.0, 64, 16),
-                (0.5, 128, 32), (0.25, 256, 64)))
+                (0.5, 128, 32), (0.25, 256, 64)),
+        rounds_full=((1.0, 32, 8), (1.0, 32, 8), (1.0, 64, 16),
+                     (0.5, 128, 32), (0.25, 256, 64)))
     res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
     res_dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg)
     np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
@@ -82,7 +85,8 @@ def test_alive_handles_missing_rays():
     rays_d = np.array(rays_d)
     rays_d[::2] = np.array([0.0, 0.0, -1.0])
     rays_d = jnp.asarray(rays_d)
-    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 8),) * 4)
+    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 8),) * 4,
+                        rounds_full=((1.0, 64, 8),) * 4)
     res = render_test(model, params, occ, rays_o, rays_d, rcfg)
     rgb = np.asarray(res["rgb"])
     np.testing.assert_allclose(rgb[::2], 1.0, atol=1e-6)  # white bg
@@ -107,7 +111,8 @@ def test_rasterized_ranges_match_full_march():
     occ = model.update_density_grid(params, occ, jax.random.PRNGKey(1),
                                     density_threshold=0.01, warmup=True)
 
-    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 16),) * 8)
+    rcfg = RenderConfig(max_samples=128, rounds=((1.0, 64, 16),) * 8,
+                        rounds_full=((1.0, 64, 16),) * 8)
     directions = jnp.asarray(scene["directions"])
     pose = jnp.asarray(scene["test_poses"][0])
     rays_o, rays_d = get_rays(directions, pose)
