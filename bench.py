@@ -42,7 +42,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from mfnerf_tpu.datasets.memory import MemoryDataset
-    from mfnerf_tpu.train import NeRFSystem, UPDATE_INTERVAL, WARMUP_STEPS
+    from mfnerf_tpu.train import NeRFSystem
     from mfnerf_tpu.utils.procedural import make_scene
 
     hp = argparse.Namespace(
@@ -67,31 +67,11 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    # grid-warmup phase: per-step dispatches (the warmup grid update touches
-    # every cell, a different program than the steady-state update)
-    def run_warmup(n_steps):
-        nonlocal key
-        metrics = None
-        for s in range(n_steps):
-            if s % UPDATE_INTERVAL == 0:
-                key, sub = jax.random.split(key)
-                system.occ = system._update_grid(
-                    system.params, system.occ, sub, s < WARMUP_STEPS, False)
-            batch = system.train_dataset[s % 1000]
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            system.params, system.opt_state, metrics = system._train_step(
-                system.params, system.opt_state, system.occ, system.poses,
-                system.directions, batch, sub, s)
-        return metrics
-
-    m = jax.device_get(run_warmup(args.warmup_steps))
-    print(f"warmup done: psnr {float(m['psnr']):.2f} "
-          f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
-
-    # steady state: the fused multi-step runner executes the whole measured
-    # window (sampling + occupancy updates + optimizer) in ONE dispatch, so
-    # the number reflects chip throughput, not host/tunnel round trips
+    # everything runs through the fused multi-step runner (sampling +
+    # occupancy refresh + optimizer inside one jit): with the dense
+    # occupancy refresh there is no separate warmup program, and per-step
+    # dispatch over the tunneled chip is both slow and unreliable
+    # (docs/TPU_NOTES.md)
     hw = args.wh * args.wh
     fused = system.make_fused_train_fn(n_img=16, hw=hw)
     rays = jnp.asarray(system.train_dataset.rays)
@@ -111,11 +91,17 @@ def main():
     sizes = [chunk] * (args.steps // chunk) + (
         [args.steps % chunk] if args.steps % chunk else [])
 
-    step = args.warmup_steps
-    for n in sorted(set(sizes)):  # compile (advances training)
+    # warmup (converge the occupancy grid) + compile of all chunk sizes
+    step = 0
+    warm_sizes = [chunk] * (args.warmup_steps // chunk) + (
+        [args.warmup_steps % chunk] if args.warmup_steps % chunk else [])
+    for n in warm_sizes + sorted(set(sizes) - set(warm_sizes)):
         system.params, system.opt_state, system.occ, m = run_fused(n, step)
         jax.block_until_ready(m["loss"])
         step += n
+    m = jax.device_get(m)
+    print(f"warmup done: psnr {float(m['psnr']):.2f} "
+          f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for n in sizes:

@@ -337,8 +337,10 @@ class NeRFSystem:
         t0 = time.time()
         step = self.global_step
         last_print = -1000
+        # the dense occupancy refresh makes warmup and steady-state updates
+        # the same program, so the fused runner can serve every step
         while step < total_steps:
-            if fused is not None and step >= WARMUP_STEPS:
+            if fused is not None:
                 chunk = min(FUSED_CHUNK, total_steps - step)
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, self.occ, metrics = fused(
