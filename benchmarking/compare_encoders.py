@@ -23,7 +23,7 @@ def run_one(grid, args, overrides=None):
     from mfnerf_tpu.datasets.memory import MemoryDataset
     from mfnerf_tpu.datasets.ray_utils import get_rays
     from mfnerf_tpu.models.rendering import render_test
-    from mfnerf_tpu.train import NeRFSystem, UPDATE_INTERVAL, WARMUP_STEPS
+    from mfnerf_tpu.train import NeRFSystem, WARMUP_STEPS
     from mfnerf_tpu.utils.metrics import psnr
     from mfnerf_tpu.utils.procedural import make_scene
 
@@ -49,33 +49,15 @@ def run_one(grid, args, overrides=None):
     system.configure(jax.random.PRNGKey(0))
 
     key = jax.random.PRNGKey(1)
-    metrics = None
 
-    # grid-warmup phase per-step (different update program); then the whole
-    # measured window runs as ONE fused dispatch — per-step dispatch timing
-    # over the tunneled chip is meaningless and its executions unreliable
-    # (docs/TPU_NOTES.md "axon tunnel" notes)
-    def steps(n, step0):
-        nonlocal key, metrics
-        for s in range(step0, step0 + n):
-            if s % UPDATE_INTERVAL == 0:
-                key, sub = jax.random.split(key)
-                system.occ = system._update_grid(
-                    system.params, system.occ, sub, s < WARMUP_STEPS, False)
-            batch = system.train_dataset[s % 1000]
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            system.params, system.opt_state, metrics = system._train_step(
-                system.params, system.opt_state, system.occ, system.poses,
-                system.directions, batch, sub, s)
-
-    warm = max(WARMUP_STEPS, min(300, args.steps // 4))
-    steps(warm, 0)
-    jax.block_until_ready(metrics["loss"])
-
+    # everything runs through chunked fused dispatches (per-step dispatch
+    # over the tunneled chip is unreliable for timing AND execution, and
+    # with the dense occupancy refresh there is no separate warmup program;
+    # docs/TPU_NOTES.md "tunnel reliability")
     fused = system.make_fused_train_fn(
         n_img=len(system.train_dataset.poses), hw=args.wh * args.wh)
     rays = jnp.asarray(system.train_dataset.rays)
+    warm = max(WARMUP_STEPS, min(320, args.steps // 4))
     n_meas = args.steps - warm
 
     def run_fused(n, step0):
@@ -90,14 +72,16 @@ def run_one(grid, args, overrides=None):
     n_chunks = -(-n_meas // chunk)
     sizes = [chunk] * (n_meas // chunk) + ([n_meas % chunk]
                                            if n_meas % chunk else [])
-    # compile both chunk sizes (advances training), then measure
-    step = warm
-    for n in sorted(set(sizes)):
+    # warmup (converge the grid) + compile of all chunk sizes, then measure
+    step = 0
+    warm_sizes = [chunk] * (warm // chunk) + ([warm % chunk]
+                                              if warm % chunk else [])
+    for n in warm_sizes + sorted(set(sizes) - set(warm_sizes)):
         system.params, system.opt_state, system.occ, metrics = run_fused(
             n, step)
         jax.block_until_ready(metrics["loss"])
         step += n
-        print(f"compiled+ran chunk {n} (step {step}, "
+        print(f"warmup chunk {n} (step {step}, "
               f"psnr {float(metrics['psnr']):.2f})", file=sys.stderr,
               flush=True)
     t0 = time.perf_counter()
