@@ -72,16 +72,22 @@ def main():
     # occupancy refresh there is no separate warmup program, and per-step
     # dispatch over the tunneled chip is both slow and unreliable
     # (docs/TPU_NOTES.md)
+    import dataclasses
+    from mfnerf_tpu.train import FLAT_AFTER
     hw = args.wh * args.wh
     fused = system.make_fused_train_fn(n_img=16, hw=hw)
+    fused_warm = system.make_fused_train_fn(
+        n_img=16, hw=hw,
+        rcfg=dataclasses.replace(system.rcfg, s_flat=0))
     rays = jnp.asarray(system.train_dataset.rays)
 
     def run_fused(n_steps, step0):
         nonlocal key
         key, sub = jax.random.split(key)
-        return fused(system.params, system.opt_state, system.occ,
-                     system.poses, system.directions, rays, sub, step0,
-                     n_steps)
+        run = fused_warm if step0 < FLAT_AFTER else fused
+        return run(system.params, system.opt_state, system.occ,
+                   system.poses, system.directions, rays, sub, step0,
+                   n_steps)
 
     # dispatch in ~96-step chunks: single device requests lasting more than
     # ~0.5-1 min have been killed by the tunnel ("TPU device error"); the

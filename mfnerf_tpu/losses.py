@@ -39,6 +39,16 @@ def distortion_loss(ws, deltas, ts, mask):
     return pair + uni
 
 
+def distortion_loss_flat(ws, w_excl, wm_excl, deltas, ts, offsets):
+    """Distortion loss over flat ray-ordered samples (same closed form as
+    :func:`distortion_loss`, with the exclusive prefix sums precomputed by
+    the flat compositor). Returns (N,) per-ray losses."""
+    from .ops.composite import seg_sum
+    pair = 2.0 * (ws * (ts * w_excl - wm_excl))
+    uni = ws * ws * deltas / 3.0
+    return seg_sum(pair + uni, offsets)
+
+
 class NeRFLoss:
     """Loss dict {rgb, opacity[, distortion]}; parity: losses.py:40-60."""
 
@@ -55,7 +65,14 @@ class NeRFLoss:
         d["opacity"] = self.lambda_opacity * (-o * jnp.log(o))
 
         if self.lambda_distortion > 0:
-            d["distortion"] = self.lambda_distortion * distortion_loss(
-                results["ws"], results["deltas"], results["ts"],
-                results["mask"])
+            if "ws_flat" in results:  # flat (ragged) sample layout
+                d["distortion"] = (
+                    self.lambda_distortion * distortion_loss_flat(
+                        results["ws_flat"], results["w_excl_flat"],
+                        results["wm_excl_flat"], results["deltas_flat"],
+                        results["ts_flat"], results["offsets"]))
+            else:
+                d["distortion"] = self.lambda_distortion * distortion_loss(
+                    results["ws"], results["deltas"], results["ts"],
+                    results["mask"])
         return d

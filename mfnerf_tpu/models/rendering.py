@@ -16,7 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.composite import composite_test_step, composite_train
+from ..ops.composite import (composite_test_step, composite_train,
+                             composite_train_flat)
 from ..ops.intersection import ray_aabb_intersect_single
 from ..ops.ray_march import (march_rays_train, march_rays_train_twolevel,
                              march_rays_window, march_rays_window_twolevel,
@@ -39,6 +40,15 @@ class RenderConfig:
     random_bg: bool = False
     test_chunk: int = 16384
     s_strata: int = 32             # two-level march: coarse-strata budget
+    # flat (ragged) training evaluation: the field runs only on the valid
+    # marched samples, compacted to a batch budget of s_flat per ray on
+    # average, instead of on every slot of the padded (N, s_max_train) rows
+    # (typical occupancy ~25/128). MEASURED NET-NEGATIVE on this chip at the
+    # default shapes: the per-sample B-element gathers (~7 ns each) cost
+    # more than the padded-eval savings (84 vs 73 ms/step), so it defaults
+    # OFF; kept because the balance flips if gather rates improve or S
+    # grows. 0 disables.
+    s_flat: int = 0
     # alive-ray round schedule for the fast test renderer: per round a
     # (capacity fraction of the ray count, rung-window length, sample cap).
     # The XLA analogue of the reference's adaptive N_samples loop
@@ -118,18 +128,51 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
             rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train)
 
     n, s = mr.ts.shape
-    xyz_flat = mr.xyzs.reshape(n * s, 3)
-    dir_flat = jnp.broadcast_to(mr.dirs[:, None, :], (n, s, 3)).reshape(-1, 3)
-    exp_flat = None
-    if exposure is not None:
-        exp_flat = jnp.broadcast_to(exposure[:, None, :],
-                                    (n, s, 1)).reshape(-1, 1)
-    sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exp_flat)
-    sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
-    rgbs = rgbs.reshape(n, s, 3)
+    if rcfg.s_flat:
+        # ragged evaluation: compact the valid samples of the whole batch
+        # into a (N*s_flat,) flat array — the padded rows hold ~25 real
+        # samples out of s_max_train=128 slots, so this cuts field
+        # evaluations ~4x for a few B-element gathers
+        b = n * rcfg.s_flat
+        counts = mr.n_samples
+        offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        total = counts.sum()
+        ray_id = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                            total_repeat_length=b)
+        pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
+        valid = (jnp.arange(b) < total) & (pos < s)
+        pos = jnp.clip(pos, 0, s - 1)
 
-    comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
-                           rcfg.T_threshold)
+        ts_f = mr.ts[ray_id, pos]
+        deltas_f = mr.deltas[ray_id, pos]
+        xyz_f = mr.xyzs[ray_id, pos]
+        dir_f = mr.dirs[ray_id]
+        exp_f = exposure[ray_id] if exposure is not None else None
+        sigmas, rgbs = model(params, xyz_f, dir_f, exposure=exp_f)
+        sigmas = jnp.where(valid, sigmas, 0.0)
+
+        comp = composite_train_flat(sigmas, rgbs, deltas_f, ts_f, valid,
+                                    ray_id, offsets, n, rcfg.T_threshold)
+        extras = {
+            "ws_flat": comp.ws, "w_excl_flat": comp.w_excl,
+            "wm_excl_flat": comp.wm_excl, "deltas_flat": deltas_f,
+            "ts_flat": ts_f, "offsets": offsets,
+        }
+    else:
+        xyz_flat = mr.xyzs.reshape(n * s, 3)
+        dir_flat = jnp.broadcast_to(mr.dirs[:, None, :],
+                                    (n, s, 3)).reshape(-1, 3)
+        exp_flat = None
+        if exposure is not None:
+            exp_flat = jnp.broadcast_to(exposure[:, None, :],
+                                        (n, s, 1)).reshape(-1, 1)
+        sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exp_flat)
+        sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
+        rgbs = rgbs.reshape(n, s, 3)
+        comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+                               rcfg.T_threshold)
+        extras = {"ws": comp.ws, "deltas": mr.deltas, "ts": mr.ts,
+                  "mask": mr.mask}
 
     if rcfg.exp_step_factor == 0:  # synthetic scenes: white background
         rgb_bg = jnp.ones(3)
@@ -141,9 +184,8 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
 
     return {
         "rgb": rgb, "opacity": comp.opacity, "depth": comp.depth,
-        "ws": comp.ws, "deltas": mr.deltas, "ts": mr.ts, "mask": mr.mask,
         "rm_samples": mr.rm_samples, "vr_samples": comp.vr_samples,
-        "total_samples": mr.rm_samples,
+        "total_samples": mr.rm_samples, **extras,
     }
 
 

@@ -64,6 +64,86 @@ def composite_train(sigmas, rgbs, deltas, ts, mask, T_threshold=1e-4):
                             vr_samples=vr_samples)
 
 
+class FlatCompositeResults(NamedTuple):
+    opacity: jnp.ndarray      # (N,)
+    depth: jnp.ndarray        # (N,)
+    rgb: jnp.ndarray          # (N, 3)
+    ws: jnp.ndarray           # (B,) flat per-sample weights
+    w_excl: jnp.ndarray       # (B,) segment-exclusive cumsum of ws
+    wm_excl: jnp.ndarray      # (B,) segment-exclusive cumsum of ws*ts
+    vr_samples: jnp.ndarray   # () int32
+
+
+def seg_sum(x, offsets):
+    """Per-segment sums of a ray-ordered flat array via boundary differences
+    of one cumsum. x: (B,) or (B, C); offsets: (N,) exclusive starts."""
+    csum = jnp.cumsum(x, axis=0)
+    seg_end = jnp.concatenate(
+        [offsets[1:], jnp.array([x.shape[0]], jnp.int32)]) - 1
+    at_end = csum[jnp.maximum(seg_end, 0)]
+    nonempty = seg_end >= offsets
+    before = jnp.where((offsets > 0)[:, None] if x.ndim == 2 else offsets > 0,
+                       csum[jnp.maximum(offsets - 1, 0)], 0.0)
+    return jnp.where(nonempty[:, None] if x.ndim == 2 else nonempty,
+                     at_end - before, 0.0)
+
+
+def seg_excl_cumsum(x, ray_id, offsets, n_rays):
+    """Segment-exclusive prefix sum over a ray-ordered flat array.
+
+    x: (B,) values, segments contiguous per ray; offsets: (N,) exclusive
+    segment starts; ray_id: (B,). Pure cumsum + two small gathers — the TPU
+    substitute for per-segment scans (no scatter, no sort).
+    """
+    csum = jnp.cumsum(x)
+    incl_before_seg = jnp.where(
+        offsets > 0, csum[jnp.maximum(offsets - 1, 0)], 0.0)  # (N,)
+    return csum - x - incl_before_seg[ray_id]
+
+
+def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
+                         n_rays, T_threshold=1e-4) -> FlatCompositeResults:
+    """Front-to-back compositing over FLAT ray-ordered samples.
+
+    Identical math to :func:`composite_train` — transmittance before sample
+    i is exp(-sum_{j<i in segment} sigma_j*delta_j), a segment-exclusive
+    cumsum instead of a per-row cumprod — but evaluated only at the valid
+    samples (the padded (N, S) rows evaluate every slot). Per-ray outputs
+    come from the same cumsum via segment-boundary differences.
+
+    Args:
+        sigmas, deltas, ts: (B,) flat samples (ray-major contiguous).
+        rgbs: (B, 3).
+        valid: (B,) bool.
+        ray_id: (B,) int32 segment id per sample.
+        offsets: (N,) int32 exclusive segment start of each ray.
+        n_rays: static N.
+    """
+    # clamp per-sample optical depth: a trunc_exp overflow (sigma=inf in
+    # fp32) would otherwise propagate inf-inf=NaN through the cumsum
+    # algebra; e^-80 is 0 transmittance already, so this is exact
+    sd = jnp.where(valid, sigmas.astype(jnp.float32)
+                   * deltas.astype(jnp.float32), 0.0)
+    sd = jnp.minimum(sd, 80.0)
+    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, n_rays)
+    t_excl = jnp.exp(-sd_excl)
+    alpha = 1.0 - jnp.exp(-sd)
+    include = (t_excl > T_threshold) & valid
+    w = jnp.where(include, alpha * t_excl, 0.0)
+
+    # seg_sum is a cumsum difference: cancellation can produce -epsilon,
+    # which the opacity-entropy loss (o*log o) would turn into NaN
+    opacity = jnp.maximum(seg_sum(w, offsets), 0.0)
+    depth = jnp.maximum(seg_sum(w * ts, offsets), 0.0)
+    rgb = jnp.maximum(seg_sum(w[:, None] * rgbs.astype(jnp.float32),
+                              offsets), 0.0)
+    w_excl = seg_excl_cumsum(w, ray_id, offsets, n_rays)
+    wm_excl = seg_excl_cumsum(w * ts, ray_id, offsets, n_rays)
+    return FlatCompositeResults(
+        opacity=opacity, depth=depth, rgb=rgb, ws=w, w_excl=w_excl,
+        wm_excl=wm_excl, vr_samples=include.sum())
+
+
 def composite_test_step(sigmas, rgbs, deltas, ts, mask, opacity, depth, rgb,
                         alive, T_threshold):
     """One incremental compositing round for the alive-ray test renderer.

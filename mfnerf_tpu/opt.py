@@ -142,5 +142,9 @@ def get_opts(argv=None):
     parser.add_argument('--steps_per_epoch', type=int, default=1000,
                         help='[tpu] steps per epoch (reference fixes 1000; '
                              'lower for smoke tests)')
+    parser.add_argument('--s_flat', type=int, default=0,
+                        help='[tpu] flat (ragged) sample evaluation budget '
+                             'per ray; 0 (default) keeps the padded rows — '
+                             'measured faster on current hardware')
 
     return parser.parse_args(argv)

@@ -9,6 +9,7 @@ instead of NCCL DDP.
 """
 from __future__ import annotations
 
+import dataclasses
 import glob
 import os
 import time
@@ -34,6 +35,9 @@ WARMUP_STEPS = 256        # reference train.py:61
 UPDATE_INTERVAL = 16      # reference train.py:62
 STEPS_PER_EPOCH = 1000    # reference base.py:17-20
 FUSED_CHUNK = 160         # steps per device dispatch in the fused train loop
+FLAT_AFTER = 512          # switch to flat (ragged) sample eval once the
+#                           occupancy grid has pruned (early rm_s ~ s_max
+#                           would overflow the flat batch budget)
 
 
 def depth2img(depth):
@@ -83,7 +87,8 @@ class NeRFSystem:
             s_max_train=hparams.s_max_train,
             s_max_test=hparams.s_max_test,
             test_chunk=hparams.test_chunk,
-            s_strata=max(8, hparams.s_max_train // 4))
+            s_strata=max(8, hparams.s_max_train // 4),
+            s_flat=getattr(hparams, "s_flat", 0))
         self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
         self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
         self.mesh = make_mesh(hparams.num_gpus)
@@ -138,12 +143,32 @@ class NeRFSystem:
     # ------------------------------------------------------------------ jits
     def _build_jits(self):
         hp = self.hparams
-        model, rcfg, loss_mod = self.model, self.rcfg, self.loss
+        model, loss_mod = self.model, self.loss
         use_exposure = hp.use_exposure
         optimize_ext = hp.optimize_ext
         unit_exposure_rgb = getattr(self.train_dataset, "unit_exposure_rgb",
                                     None)
 
+        def make_train_step(rcfg):
+            return self._make_train_step(rcfg, model, loss_mod, use_exposure,
+                                         optimize_ext, unit_exposure_rgb)
+
+        self._make_step_for = make_train_step
+        self._train_step_fn = make_train_step(self.rcfg)
+        self._train_step = jax.jit(self._train_step_fn,
+                                   donate_argnums=(0, 1))
+
+        def update_grid(params, occ, key, warmup, erode):
+            return model.update_density_grid(
+                params, occ, key, self.density_threshold, warmup=warmup,
+                erode=erode)
+
+        self._update_grid_fn = update_grid
+        self._update_grid = jax.jit(update_grid, static_argnums=(3, 4),
+                                    donate_argnums=(1,))
+
+    def _make_train_step(self, rcfg, model, loss_mod, use_exposure,
+                         optimize_ext, unit_exposure_rgb):
         def forward_train(params, occ, poses, directions, batch, key):
             pose = poses[batch["img_idxs"]]
             dirs = directions[batch["pix_idxs"]]
@@ -189,21 +214,11 @@ class NeRFSystem:
             }
             return params, opt_state, metrics
 
-        self._train_step_fn = train_step  # pure; composed by the fused runner
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-
-        def update_grid(params, occ, key, warmup, erode):
-            return model.update_density_grid(
-                params, occ, key, self.density_threshold, warmup=warmup,
-                erode=erode)
-
-        self._update_grid_fn = update_grid
-        self._update_grid = jax.jit(update_grid, static_argnums=(3, 4),
-                                    donate_argnums=(1,))
+        return train_step
 
     # ------------------------------------------------------- fused multi-step
     def make_fused_train_fn(self, n_img, hw, erode=False,
-                            same_image=False):
+                            same_image=False, rcfg=None):
         """Build a jitted runner executing ``n_steps`` training steps in ONE
         device dispatch: on-device ray sampling from a staged ``rays`` array,
         occupancy-grid refresh every UPDATE_INTERVAL steps via ``lax.cond``,
@@ -221,7 +236,8 @@ class NeRFSystem:
         ``n_steps`` static; ``rays`` is (n_img, hw, 3|4) with the optional
         exposure channel.
         """
-        train_step = self._train_step_fn
+        train_step = (self._train_step_fn if rcfg is None
+                      else self._make_step_for(rcfg))
         update_grid = self._update_grid_fn
 
         def sample_batch(rays, key):
@@ -314,14 +330,20 @@ class NeRFSystem:
         # steady-state fused runner (single-chip): N steps per dispatch with
         # on-device sampling; the multi-chip mesh path keeps per-step
         # dispatches (batches are host-sharded across the mesh)
-        fused = None
+        fused = fused_warm = None
         if self.mesh is None:
-            fused = self.make_fused_train_fn(
+            kwargs = dict(
                 n_img=len(self.train_dataset.poses),
                 hw=self.train_dataset.img_wh[0]
                 * self.train_dataset.img_wh[1],
                 erode=erode,
                 same_image=hp.ray_sampling_strategy == "same_image")
+            fused = self.make_fused_train_fn(**kwargs)
+            # early steps run the padded evaluator: pre-pruning rm_s would
+            # overflow the flat sample budget and starve training
+            fused_warm = fused if self.rcfg.s_flat == 0 else \
+                self.make_fused_train_fn(
+                    rcfg=dataclasses.replace(self.rcfg, s_flat=0), **kwargs)
             staged_rays = jnp.asarray(self.train_dataset.rays)
 
         def log_metrics(metrics, step):
@@ -342,8 +364,11 @@ class NeRFSystem:
         while step < total_steps:
             if fused is not None:
                 chunk = min(FUSED_CHUNK, total_steps - step)
+                if step < FLAT_AFTER:
+                    chunk = min(chunk, FLAT_AFTER - step)
+                run = fused_warm if step < FLAT_AFTER else fused
                 key, sub = jax.random.split(key)
-                self.params, self.opt_state, self.occ, metrics = fused(
+                self.params, self.opt_state, self.occ, metrics = run(
                     self.params, self.opt_state, self.occ, self.poses,
                     self.directions, staged_rays, sub, step, chunk)
                 step += chunk

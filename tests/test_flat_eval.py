@@ -1,0 +1,89 @@
+"""Flat (ragged) training evaluation vs the padded (N, S) path.
+
+Both paths composite the same marched samples with the same T-threshold
+semantics, so rendered outputs AND parameter gradients must agree to float
+tolerance whenever the flat batch budget holds every valid sample.
+"""
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfnerf_tpu.losses import NeRFLoss
+from mfnerf_tpu.models.ngp import NGP, NGPConfig, OccupancyState
+from mfnerf_tpu.models.rendering import RenderConfig, render_train
+
+
+def _setup(seed=0):
+    cfg = NGPConfig(grid="LowRank", lr_levels=2, lr_rank=8, lr_k_max=64,
+                    grid_size=32, scale=0.5, rgb_channels=16, rgb_layers=1)
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    occ = OccupancyState.create(cfg)
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 256, occ.density_bitfield.shape, dtype=np.uint8) \
+        & 0x31
+    occ = dataclasses.replace(
+        occ, density_bitfield=jnp.asarray(bits)).refresh_coarse(cfg)
+
+    n = 256
+    key = jax.random.PRNGKey(seed + 1)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.3]]), (n, 1))
+    d = jax.random.normal(key, (n, 3)) * jnp.asarray([0.3, 0.3, 0.0]) \
+        + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    return model, params, occ, rays_o, rays_d
+
+
+def _outputs(model, params, occ, rays_o, rays_d, rcfg):
+    return render_train(model, params, occ, rays_o, rays_d,
+                        jax.random.PRNGKey(7), rcfg)
+
+
+def test_flat_matches_padded_outputs_and_grads():
+    model, params, occ, rays_o, rays_d = _setup()
+    base = dict(max_samples=256, s_max_train=64)
+    rcfg_pad = RenderConfig(s_flat=0, **base)
+    rcfg_flat = RenderConfig(s_flat=64, **base)  # budget >= every sample
+
+    out_pad = _outputs(model, params, occ, rays_o, rays_d, rcfg_pad)
+    out_flat = _outputs(model, params, occ, rays_o, rays_d, rcfg_flat)
+    for k in ("rgb", "opacity", "depth"):
+        np.testing.assert_allclose(np.asarray(out_flat[k]),
+                                   np.asarray(out_pad[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    assert int(out_flat["vr_samples"]) == int(out_pad["vr_samples"])
+
+    target = jax.random.uniform(jax.random.PRNGKey(9),
+                                (rays_o.shape[0], 3))
+
+    def loss_fn(params, rcfg):
+        res = _outputs(model, params, occ, rays_o, rays_d, rcfg)
+        loss_d = NeRFLoss(lambda_distortion=1e-2)(res, {"rgb": target})
+        return sum(v.mean() for v in loss_d.values())
+
+    l_pad, g_pad = jax.value_and_grad(loss_fn)(params, rcfg_pad)
+    l_flat, g_flat = jax.value_and_grad(loss_fn)(params, rcfg_flat)
+    np.testing.assert_allclose(float(l_flat), float(l_pad), rtol=1e-5)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pad)
+    flat_f, _ = jax.tree_util.tree_flatten(g_flat)
+    for a, b in zip(flat_p, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_flat_budget_truncation_is_graceful():
+    """An undersized flat budget must only DROP samples (dimmer pixels),
+    never corrupt other rays."""
+    model, params, occ, rays_o, rays_d = _setup(seed=2)
+    base = dict(max_samples=256, s_max_train=64)
+    out_pad = _outputs(model, params, occ, rays_o, rays_d,
+                       RenderConfig(s_flat=0, **base))
+    out_tiny = _outputs(model, params, occ, rays_o, rays_d,
+                        RenderConfig(s_flat=4, **base))
+    op_pad = np.asarray(out_pad["opacity"])
+    op_tiny = np.asarray(out_tiny["opacity"])
+    assert (op_tiny <= op_pad + 1e-5).all()
+    assert np.isfinite(np.asarray(out_tiny["rgb"])).all()
