@@ -43,6 +43,21 @@ class MarchResults(NamedTuple):
     rm_samples: jnp.ndarray  # () int32 total marched samples (train/rm_s log)
 
 
+def compact_rung_indices_at(csum, queries, chunk=128):
+    """Like :func:`compact_rung_indices` but with per-row query ranks.
+
+    queries: (N, S) int32 1-based ranks; returns (N, S) first k with
+    ``csum[n, k] == queries[n, s]`` (i.e. #{k: csum[n,k] < q}).
+    """
+    n, k_total = csum.shape
+    out = jnp.zeros(queries.shape, jnp.int32)
+    for k0 in range(0, k_total, chunk):
+        blk = csum[:, k0:k0 + chunk]
+        out = out + (blk[:, :, None] < queries[:, None, :]).sum(
+            axis=1, dtype=jnp.int32)
+    return out
+
+
 def compact_rung_indices(csum, s_max, chunk=128):
     """Rung index of the s-th occupied sample from the per-row cumsum.
 
@@ -205,10 +220,19 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
     occ_c = occ_c & (t_first < t2[:, None]) & valid_ray[:, None]
 
     csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
-    j_sel = jnp.minimum(compact_rung_indices(csum_a, s_strata),
+    n_occ = csum_a[:, -1]                                         # (N,)
+    # when a ray's occupied strata exceed the budget, take them STRATIFIED
+    # along the ray rather than the first s_strata: first-k truncation
+    # starves the far scene during early training (the un-pruned grid marks
+    # everything occupied), which locks training into near-camera fog.
+    # Under budget the ranks are 1..n_occ — exact first-k semantics.
+    jj_rank = jnp.arange(s_strata, dtype=jnp.int32)[None, :]
+    over = n_occ[:, None] > s_strata
+    ranks = jnp.where(
+        over, (jj_rank * n_occ[:, None]) // s_strata + 1, jj_rank + 1)
+    j_sel = jnp.minimum(compact_rung_indices_at(csum_a, ranks),
                         n_strata - 1)                             # (N, SA)
-    sel_mask = (jnp.arange(1, s_strata + 1, dtype=jnp.int32)[None, :]
-                <= csum_a[:, -1][:, None])
+    sel_mask = (jj_rank + 1) <= jnp.minimum(n_occ, s_strata)[:, None]
 
     # ---- stage B: exact fine tests inside the selected strata
     ks = (j_sel[:, :, None] * stratum

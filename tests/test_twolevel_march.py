@@ -81,9 +81,11 @@ def test_twolevel_matches_onelevel(density):
     assert agree.all() or exact.mean() > 0.98
 
 
-def test_twolevel_budget_truncation_is_prefix():
-    """With a tiny strata budget, the emitted samples must be a PREFIX of the
-    one-level sample sequence (never out-of-order or fabricated)."""
+def test_twolevel_budget_truncation_is_ordered_subsequence():
+    """With a tiny strata budget, the emitted samples must be an ORDERED
+    SUBSEQUENCE of the one-level sample sequence — stratified along the ray
+    (first-k truncation starves the far scene; see march docstring), never
+    out-of-order or fabricated."""
     fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise = _setup(0.08)
     stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
@@ -94,7 +96,12 @@ def test_twolevel_budget_truncation_is_prefix():
         rays_o, rays_d, hits_t, fine_bits, coarse_bits, SCALE, 0.0, GRID,
         MAX_SAMPLES, noise, k, 64, stratum, s_strata=4)
     ts1, ts2 = np.asarray(one.ts), np.asarray(two.ts)
+    n1 = np.asarray(one.n_samples)
     n2 = np.asarray(two.n_samples)
     for i in range(ts1.shape[0]):
-        np.testing.assert_allclose(ts2[i, :n2[i]], ts1[i, :n2[i]],
-                                   rtol=1e-5, atol=1e-7)
+        a, b = ts2[i, :n2[i]], ts1[i, :n1[i]]
+        assert (np.diff(a) > 0).all()  # strictly increasing (ordered)
+        # every emitted t is one of the one-level sample t's
+        if len(a) and len(b):
+            d = np.abs(a[:, None] - b[None, :]).min(axis=1)
+            np.testing.assert_array_less(d, 1e-5)
