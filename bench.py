@@ -53,7 +53,7 @@ def main():
         random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
         exp_name="bench", ckpt_path=None, weight_path=None, grid=args.grid,
         L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
-        rgb_layers=2, seed=1337, s_max_train=128, s_max_test=256,
+        rgb_layers=2, seed=1337, s_max_train=64, s_max_test=256,
         test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
         lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16)

@@ -108,8 +108,11 @@ def get_opts(argv=None):
                         help='random seed')
 
     # ------------------------------------------------------------ TPU extras
-    parser.add_argument('--s_max_train', type=int, default=128,
-                        help='[tpu] static per-ray sample budget (train)')
+    parser.add_argument('--s_max_train', type=int, default=64,
+                        help='[tpu] static per-ray sample budget (train); '
+                             'over-budget rays sample stratified along the '
+                             'ray (measured quality-neutral vs 128 at 1.7x '
+                             'the speed, docs/TPU_NOTES.md)')
     parser.add_argument('--s_max_test', type=int, default=256,
                         help='[tpu] static per-ray sample budget (test)')
     parser.add_argument('--test_chunk', type=int, default=16384,
