@@ -109,17 +109,29 @@ def main():
     print(f"warmup done: psnr {float(m['psnr']):.2f} "
           f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
 
-    t0 = time.perf_counter()
+    # time each chunk separately and report the MEDIAN ms/step: the tunneled
+    # chip is shared infrastructure whose throughput can transiently degrade
+    # 2-4x (contention / device faults, docs/TPU_NOTES.md); a single
+    # wall-clock total over minutes conflates those events with steady-state
+    # speed (round 1: the same program measured 42 vs 137 ms/step). Blocking
+    # per chunk costs one ~30 ms dispatch round trip per ~4 s chunk (<1%).
+    chunk_ms = []
     for n in sizes:
+        t0 = time.perf_counter()
         system.params, system.opt_state, system.occ, m = run_fused(n, step)
+        jax.block_until_ready(m["loss"])
+        chunk_ms.append((time.perf_counter() - t0) * 1e3 / n)
         step += n
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    rays_per_sec = args.steps * args.batch_size / dt
+    med = float(np.median(chunk_ms))
+    lo, hi = float(np.min(chunk_ms)), float(np.max(chunk_ms))
+    rays_per_sec = args.batch_size / (med / 1e3)
     m = jax.device_get(m)
-    print(f"bench: {args.steps} steps in {dt:.2f}s "
-          f"({1e3 * dt / args.steps:.2f} ms/step), "
-          f"psnr {float(m['psnr']):.2f} rm_s {float(m['rm_s']):.1f} "
+    outliers = [f"{x:.1f}" for x in chunk_ms if x > 1.5 * med]
+    print(f"bench: {args.steps} steps in {len(sizes)} chunks, "
+          f"median {med:.2f} ms/step (min {lo:.2f}, max {hi:.2f}"
+          + (f"; {len(outliers)} outlier chunks >1.5x median: "
+             + ",".join(outliers) if outliers else "")
+          + f"), psnr {float(m['psnr']):.2f} rm_s {float(m['rm_s']):.1f} "
           f"vr_s {float(m['vr_s']):.1f}", file=sys.stderr)
 
     if args.fps:
@@ -133,15 +145,17 @@ def main():
         res = render_test(system.model, system.params, system.occ, rays_o,
                           rays_d, system.rcfg, camera=camera)  # compile
         jax.block_until_ready(res["rgb"])
-        t0 = time.perf_counter()
-        n_frames = 5
-        for _ in range(n_frames):
+        frame_s = []
+        for _ in range(7):
+            t0 = time.perf_counter()
             res = render_test(system.model, system.params, system.occ,
                               rays_o, rays_d, system.rcfg, camera=camera)
             jax.block_until_ready(res["rgb"])
-        fps = n_frames / (time.perf_counter() - t0)
-        print(f"render fps ({args.wh}x{args.wh}): {fps:.2f}",
-              file=sys.stderr)
+            frame_s.append(time.perf_counter() - t0)
+        fps = 1.0 / float(np.median(frame_s))
+        print(f"render fps ({args.wh}x{args.wh}): {fps:.2f} "
+              f"(median of {len(frame_s)}; min {1 / max(frame_s):.2f}, "
+              f"max {1 / min(frame_s):.2f})", file=sys.stderr)
 
     baseline = 805_600.0  # reference Lego training rays/s (2080 Ti)
     print(json.dumps({
