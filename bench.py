@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--grid", type=str, default="LowRank",
                     help="encoder (LowRank is the TPU-native fast path; "
                          "Hash is gather/scatter-bound, see docs/TPU_NOTES.md)")
+    ap.add_argument("--s_flat", type=int, default=0,
+                    help="flat (ragged) sample-eval budget per ray; 0 padded")
+    ap.add_argument("--s_max_train", type=int, default=64)
     ap.add_argument("--bf16", action="store_true", default=False,
                     help="bfloat16 matmul compute — measured 8x SLOWER than "
                          "fp32 on this encoder's shapes (VPU bf16 tiling of "
@@ -53,10 +56,11 @@ def main():
         random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
         exp_name="bench", ckpt_path=None, weight_path=None, grid=args.grid,
         L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
-        rgb_layers=2, seed=1337, s_max_train=64, s_max_test=256,
-        test_chunk=65536, lpips_weights=None, profile=False,
+        rgb_layers=2, seed=1337, s_max_train=args.s_max_train,
+        s_max_test=256, test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16)
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16,
+        s_flat=args.s_flat)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)

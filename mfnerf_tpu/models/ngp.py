@@ -107,14 +107,21 @@ class OccupancyState:
     ``coarse_bitfield`` is TPU-specific: a dilated half-resolution copy of the
     bitfield enabling two-level marching (strata tested at the coarse level,
     fine lookups only inside surviving strata) — random gathers are the
-    scarce resource on TPU (~7 ns each, see docs/TPU_NOTES.md). Always
-    derived from ``density_bitfield`` (see refresh_coarse); kept in the state
-    so marching needn't rebuild it every step.
+    scarce resource on TPU (~8 ns each, see docs/TPU_NOTES.md).
+    ``coarse_nbr``/``fine_nbr`` are 4^3-neighborhood row tables (64 cells per
+    gathered row, see ops/morton.neighborhood_table) that the two-level march
+    reads instead of per-rung bit gathers — they cut marching gathers a
+    further ~6x. All three are derived from ``density_bitfield`` (see
+    refresh_coarse); kept in the state so marching needn't rebuild them every
+    step. The nbr tables serve the single-cascade march; multi-cascade
+    configs carry (1, 2) placeholders.
     """
     density_grid: jnp.ndarray    # (C, G^3) float32, Morton cell order
     density_bitfield: jnp.ndarray  # (C*G^3//8,) uint8
     count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
     coarse_bitfield: jnp.ndarray  # (C*(G/2)^3//8,) uint8, dilated
+    coarse_nbr: jnp.ndarray      # ((G/2)^3, 2) uint32 dilated-coarse rows
+    fine_nbr: jnp.ndarray        # (G^3, 2) uint32 exact fine rows
 
     def tree_flatten_with_keys(self):
         return ((jax.tree_util.GetAttrKey("density_grid"), self.density_grid),
@@ -122,29 +129,44 @@ class OccupancyState:
                  self.density_bitfield),
                 (jax.tree_util.GetAttrKey("count_grid"), self.count_grid),
                 (jax.tree_util.GetAttrKey("coarse_bitfield"),
-                 self.coarse_bitfield)), None
+                 self.coarse_bitfield),
+                (jax.tree_util.GetAttrKey("coarse_nbr"), self.coarse_nbr),
+                (jax.tree_util.GetAttrKey("fine_nbr"), self.fine_nbr)), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
     @staticmethod
+    def _nbr_tables(density_bitfield, cfg: "NGPConfig"):
+        from ..ops.morton import occupancy_nbr_tables
+        if cfg.cascades != 1:
+            z = jnp.zeros((1, 2), jnp.uint32)
+            return z, z
+        return occupancy_nbr_tables(density_bitfield, cfg.grid_size)
+
+    @staticmethod
     def create(cfg: NGPConfig) -> "OccupancyState":
         c, n = cfg.cascades, cfg.n_cells
+        one = c == 1
         return OccupancyState(
             density_grid=jnp.zeros((c, n), jnp.float32),
             density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
             count_grid=jnp.zeros((c, n), jnp.float32),
             coarse_bitfield=jnp.zeros((c * n // 64,), jnp.uint8),
+            coarse_nbr=jnp.zeros((n // 8 if one else 1, 2), jnp.uint32),
+            fine_nbr=jnp.zeros((n if one else 1, 2), jnp.uint32),
         )
 
     def refresh_coarse(self, cfg: NGPConfig) -> "OccupancyState":
-        """Rebuild coarse_bitfield from density_bitfield (after ckpt load —
-        older checkpoints don't carry it)."""
+        """Rebuild the derived marching tables (coarse_bitfield + nbr rows)
+        from density_bitfield (after ckpt load / direct bitfield edits)."""
         from ..ops.morton import coarse_bitfield_from_fine
+        coarse_nbr, fine_nbr = self._nbr_tables(self.density_bitfield, cfg)
         return dataclasses.replace(
             self, coarse_bitfield=coarse_bitfield_from_fine(
-                self.density_bitfield, cfg.grid_size, cfg.cascades))
+                self.density_bitfield, cfg.grid_size, cfg.cascades),
+            coarse_nbr=coarse_nbr, fine_nbr=fine_nbr)
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32):
@@ -347,12 +369,9 @@ class NGP:
             cnt, grd = per_cascade(c)
             counts.append(cnt)
             grids.append(grd)
-        return OccupancyState(
-            density_grid=jnp.stack(grids),
-            density_bitfield=occ.density_bitfield,
-            count_grid=jnp.stack(counts),
-            coarse_bitfield=occ.coarse_bitfield,
-        )
+        return dataclasses.replace(
+            occ, density_grid=jnp.stack(grids),
+            count_grid=jnp.stack(counts))
 
     def update_density_grid(self, params, occ: OccupancyState, key,
                             density_threshold, warmup=False, decay=0.95,
@@ -417,7 +436,10 @@ class NGP:
         from ..ops.morton import coarse_bitfield_from_fine
         coarse = coarse_bitfield_from_fine(bitfield, cfg.grid_size,
                                            cfg.cascades)
+        coarse_nbr, fine_nbr = OccupancyState._nbr_tables(bitfield, cfg)
         return OccupancyState(density_grid=new_grid,
                               density_bitfield=bitfield,
                               count_grid=occ.count_grid,
-                              coarse_bitfield=coarse)
+                              coarse_bitfield=coarse,
+                              coarse_nbr=coarse_nbr,
+                              fine_nbr=fine_nbr)

@@ -17,12 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.composite import (composite_test_step, composite_train,
-                             composite_train_flat)
+                             composite_train_flat, gather_rows_sorted)
 from ..ops.intersection import ray_aabb_intersect_single
 from ..ops.ray_march import (march_rays_train, march_rays_train_twolevel,
                              march_rays_window, march_rays_window_twolevel,
                              twolevel_stratum)
-from ..ops.stepping import max_ladder_steps
+from ..ops.stepping import calc_dt, max_ladder_steps, t_ladder
 
 MAX_SAMPLES = 1024     # reference rendering.py:7
 NEAR_DISTANCE = 0.01   # reference rendering.py:8
@@ -115,8 +115,8 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
                                cfg.scale, cfg.grid_size, cfg.cascades)
     if stratum:  # synthetic single-cascade scenes: gather-frugal march
         mr = march_rays_train_twolevel(
-            rays_o, rays_d, hits_t, occ.density_bitfield,
-            occ.coarse_bitfield, cfg.scale, rcfg.exp_step_factor,
+            rays_o, rays_d, hits_t, occ.fine_nbr,
+            occ.coarse_nbr, cfg.scale, rcfg.exp_step_factor,
             cfg.grid_size, rcfg.max_samples, noise,
             rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
             stratum, s_strata=rcfg.s_strata)
@@ -130,25 +130,44 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
     n, s = mr.ts.shape
     if rcfg.s_flat:
         # ragged evaluation: compact the valid samples of the whole batch
-        # into a (N*s_flat,) flat array — the padded rows hold ~25 real
-        # samples out of s_max_train=128 slots, so this cuts field
-        # evaluations ~4x for a few B-element gathers
+        # into a (N*s_flat,) flat array — the padded rows hold ~12 real
+        # samples out of s_max_train=64 slots, so this cuts field
+        # evaluations ~3-5x. Gather-frugal reconstruction: only the int32
+        # rung index k and ONE packed per-ray row are fetched per sample;
+        # t/dt/xyz are recomputed closed-form from the ladder (bitwise equal
+        # to the padded path's values). The round-1 flat path gathered
+        # (xyz, dir, t, dt) directly and lost to the scatter-adds those
+        # gathers' VJPs emit (84 vs 73 ms/step); here the backward reaches
+        # per-ray geometry only through gather_rows_sorted, whose VJP is a
+        # cumsum-difference segment sum — no scatter anywhere.
         b = n * rcfg.s_flat
         counts = mr.n_samples
         offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
         total = counts.sum()
-        ray_id = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
-                            total_repeat_length=b)
+        # ray_id via segment-start marks + cumsum (empty segments stack
+        # their marks on the same position; overflowing starts drop)
+        marks = jnp.zeros((b,), jnp.int32).at[offsets].add(
+            1, mode="drop", indices_are_sorted=True)
+        ray_id = jnp.cumsum(marks) - 1
         pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
-        valid = (jnp.arange(b) < total) & (pos < s)
-        pos = jnp.clip(pos, 0, s - 1)
+        valid = jnp.arange(b) < total
+        k_f = mr.k_idx[ray_id, jnp.minimum(pos, s - 1)]
 
-        ts_f = mr.ts[ray_id, pos]
-        deltas_f = mr.deltas[ray_id, pos]
-        xyz_f = mr.xyzs[ray_id, pos]
-        dir_f = mr.dirs[ray_id]
-        exp_f = exposure[ray_id] if exposure is not None else None
-        sigmas, rgbs = model(params, xyz_f, dir_f, exposure=exp_f)
+        packed = [rays_o, mr.dirs, mr.t_start[:, None]]
+        if exposure is not None:
+            packed.append(exposure)
+        row_f = gather_rows_sorted(jnp.concatenate(packed, axis=1),
+                                   ray_id, offsets)
+        o_f, d_f, t0_f = row_f[:, :3], row_f[:, 3:6], row_f[:, 6]
+        exp_f = row_f[:, 7:8] if exposure is not None else None
+        ts_f = t_ladder(t0_f, k_f[:, None], rcfg.exp_step_factor,
+                        rcfg.max_samples, cfg.grid_size, cfg.scale)[:, 0]
+        deltas_f = calc_dt(ts_f, rcfg.exp_step_factor, rcfg.max_samples,
+                           cfg.grid_size, cfg.scale)
+        ts_f = jnp.where(valid, ts_f, 0.0)
+        deltas_f = jnp.where(valid, deltas_f, 0.0)
+        xyz_f = o_f + ts_f[:, None] * d_f
+        sigmas, rgbs = model(params, xyz_f, d_f, exposure=exp_f)
         sigmas = jnp.where(valid, sigmas, 0.0)
 
         comp = composite_train_flat(sigmas, rgbs, deltas_f, ts_f, valid,
@@ -346,7 +365,7 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
         if stratum:  # gather-frugal two-level window (synthetic scenes)
             mr = march_rays_window_twolevel(
                 ro, rd, t_start[ids], t2[ids], cursor[ids],
-                occ.density_bitfield, occ.coarse_bitfield, cfg.scale,
+                occ.fine_nbr, occ.coarse_nbr, cfg.scale,
                 rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
                 w_len, s_cap, stratum)
         else:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -86,6 +87,33 @@ def seg_sum(x, offsets):
                        csum[jnp.maximum(offsets - 1, 0)], 0.0)
     return jnp.where(nonempty[:, None] if x.ndim == 2 else nonempty,
                      at_end - before, 0.0)
+
+
+@jax.custom_vjp
+def gather_rows_sorted(table, ray_id, offsets):
+    """Gather ``table`` (N, C) rows by a SORTED segment-contiguous ``ray_id``
+    (B,) whose segment starts are ``offsets`` (N,).
+
+    Functionally ``table[ray_id]``, but with a custom VJP: the generic gather
+    backward is a B-update scatter-add (~60 ns/update on this chip,
+    docs/TPU_NOTES.md), while sortedness makes it an exact per-segment sum —
+    one cumsum plus boundary differences (:func:`seg_sum`). This is what lets
+    the flat (ragged) training path carry pose-refinement gradients through
+    per-ray geometry without any scatter in the backward program.
+    """
+    return table[ray_id]
+
+
+def _gather_rows_fwd(table, ray_id, offsets):
+    return table[ray_id], (ray_id, offsets, table.dtype)
+
+
+def _gather_rows_bwd(res, g):
+    ray_id, offsets, dtype = res
+    return seg_sum(g.astype(jnp.float32), offsets).astype(dtype), None, None
+
+
+gather_rows_sorted.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def seg_excl_cumsum(x, ray_id, offsets, n_rays):

@@ -138,6 +138,91 @@ def coarse_bitfield_from_fine(fine_bitfield: jnp.ndarray, grid_size: int,
     return (coarse_morton.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
 
 
+def _unpack_bits_morton(bitfield: jnp.ndarray, n_cells: int) -> jnp.ndarray:
+    """Packed uint8 bitfield -> (n_cells,) bool in Morton cell order."""
+    bits = (bitfield[:, None] >> jnp.arange(8, dtype=jnp.uint8)) \
+        & jnp.uint8(1)
+    return bits.reshape(-1)[:n_cells].astype(jnp.bool_)
+
+
+def neighborhood_table(occ_spatial: jnp.ndarray) -> jnp.ndarray:
+    """Pack each cell's 4x4x4 forward neighborhood into one 64-bit row.
+
+    The gather-wide marching primitive: XLA random-gather cost is per ROW,
+    not per byte (~8 ns either way, docs/TPU_NOTES.md), so fetching 64 cells
+    per gather cuts the march's occupancy-test gathers ~8x. Row
+    r = (z*g + y)*g + x holds the occupancy of cells (x+lx, y+ly, z+lz),
+    l in [0,4)^3, at bit lx + 4*ly + 16*lz (lo word: lz in {0,1}; hi word:
+    lz in {2,3}). Built separably (12 dense shifted-OR passes); the
+    wrap-around roll writes garbage bits only at row/offset pairs that point
+    outside the grid, which lookups never read (the anchor is the min of
+    in-bounds cells).
+
+    Args:
+        occ_spatial: (g, g, g) bool occupancy, axes [z, y, x] raster order.
+    Returns:
+        (g^3, 2) uint32, row-indexed by (z*g + y)*g + x.
+    """
+    occ = occ_spatial.astype(jnp.uint32)
+    px = occ
+    for ox in range(1, 4):
+        px = px | (jnp.roll(occ, -ox, axis=2) << ox)
+    pxy = px
+    for oy in range(1, 4):
+        pxy = pxy | (jnp.roll(px, -oy, axis=1) << (4 * oy))
+    lo = pxy | (jnp.roll(pxy, -1, axis=0) << 16)
+    hi = jnp.roll(pxy, -2, axis=0) | (jnp.roll(pxy, -3, axis=0) << 16)
+    return jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)
+
+
+def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
+                        cells: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Occupancy of ``cells`` read from their shared neighborhood row.
+
+    Args:
+        table: (g^3, 2) uint32 from :func:`neighborhood_table`.
+        anchor: (..., 3) int32 xyz cell coords; every query cell must lie in
+            anchor + [0, 4)^3 (callers guarantee this statically by bounding
+            the marching span; see ray_march.superstrata_len).
+        cells: (..., K, 3) int32 xyz cell coords.
+        g: grid resolution.
+    Returns:
+        (..., K) bool — one row gather per anchor for K cell tests.
+    """
+    idx = (anchor[..., 2] * g + anchor[..., 1]) * g + anchor[..., 0]
+    rows = table[idx]                                        # (..., 2)
+    local = cells - anchor[..., None, :]
+    bit = (local[..., 0] + 4 * local[..., 1]
+           + 16 * local[..., 2]).astype(jnp.uint32)          # (..., K)
+    word = jnp.where(bit < 32, rows[..., 0][..., None],
+                     rows[..., 1][..., None])
+    return ((word >> (bit & jnp.uint32(31))) & 1).astype(jnp.bool_)
+
+
+def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int):
+    """Neighborhood tables for two-level marching (single-cascade scenes).
+
+    Returns:
+        (coarse_nbr, fine_nbr): 4^3-neighborhood rows of the DILATED
+        half-resolution grid ((g/2)^3, 2) and of the exact fine grid
+        ((g^3, 2)); see neighborhood_table. The coarse grid reuses the
+        Morton-byte pooling + dilation of :func:`coarse_bitfield_from_fine`.
+    """
+    g = grid_size
+    g2 = g // 2
+    to_spatial_c, _ = _morton_spatial_perms(g2)
+    coarse = (fine_bitfield[: g2 ** 3] != 0)[jnp.asarray(to_spatial_c)] \
+        .reshape(g2, g2, g2)
+    d = coarse
+    for axis in range(3):
+        d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+
+    to_spatial_f, _ = _morton_spatial_perms(g)
+    fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)
+    fine = fine[jnp.asarray(to_spatial_f)].reshape(g, g, g)
+    return neighborhood_table(d), neighborhood_table(fine)
+
+
 def bitfield_lookup(bitfield: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Test occupancy bit ``idx`` in a packed bitfield.
 

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .morton import bitfield_lookup, morton3d
+from .morton import bitfield_lookup, morton3d, neighborhood_lookup
 from .stepping import SQRT3, calc_dt, mip_from_dt, mip_from_pos, t_ladder
 
 
@@ -41,6 +41,8 @@ class MarchResults(NamedTuple):
     mask: jnp.ndarray     # (N, S) bool sample validity
     n_samples: jnp.ndarray  # (N,) int32 valid samples per ray (<= S)
     rm_samples: jnp.ndarray  # () int32 total marched samples (train/rm_s log)
+    k_idx: jnp.ndarray = None    # (N, S) int32 ladder rung of each sample
+    t_start: jnp.ndarray = None  # (N,) jittered ladder origin (t at rung 0)
 
 
 def compact_rung_indices_at(csum, queries, chunk=128):
@@ -167,32 +169,45 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
                      0.0)
     return MarchResults(xyzs=xyzs, dirs=rays_d, deltas=deltas, ts=ts,
                         mask=mask, n_samples=n_samples,
-                        rm_samples=n_samples.sum())
+                        rm_samples=n_samples.sum(), k_idx=k_idx,
+                        t_start=t_start)
 
 
-def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
-                              coarse_bitfield, scale, exp_step_factor,
+def superstrata_len(stratum, dt_min, cell) -> int:
+    """Static count of consecutive stratum centers whose cells fit one 4^3
+    neighborhood row: the span of s centers, (s-1)*stratum*dt_min, must stay
+    within 3 cells so every center's cell lies in min_cell + [0, 4)^3."""
+    s = 1
+    while s < 8 and s * stratum * dt_min <= 3.0 * cell:
+        s += 1
+    return s
+
+
+def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
+                              coarse_nbr, scale, exp_step_factor,
                               grid_size, max_samples, noise, n_rungs, s_max,
                               stratum, s_strata=32) -> MarchResults:
     """Two-level training march: coarse strata first, fine rungs second.
 
-    Random gathers are the dominant marching cost on TPU (~7 ns each
-    regardless of table size, docs/TPU_NOTES.md), so instead of testing the
-    occupancy bitfield at every one of the K~1000 ladder rungs per ray
-    (raymarching.cu:166-332 can afford this; XLA cannot), the ladder is cut
-    into strata of ``stratum`` rungs:
+    Random gathers are the dominant marching cost on TPU (~8 ns per row
+    regardless of table size or ROW WIDTH, docs/TPU_NOTES.md), so instead of
+    testing the occupancy bitfield at every one of the K~1000 ladder rungs
+    per ray (raymarching.cu:166-332 can afford this; XLA cannot), the ladder
+    is cut into strata of ``stratum`` rungs and all occupancy reads fetch
+    64-cell 4^3-neighborhood rows (ops/morton.neighborhood_table):
 
-    1. ONE dilated-coarse-grid lookup per stratum center (K/stratum gathers);
-       dilation makes this a strict superset test (see
-       morton.coarse_bitfield_from_fine + twolevel_stratum).
-    2. the first ``s_strata`` surviving strata are compacted and only their
-       rungs get exact fine-bitfield tests (s_strata*stratum gathers).
+    1. ONE dilated-coarse row gather per ~4 stratum centers
+       (superstrata_len); dilation makes the per-center test a strict
+       superset test (see morton.occupancy_nbr_tables + twolevel_stratum).
+    2. the first ``s_strata`` surviving strata are compacted and their rungs
+       get exact fine-grid tests — ONE fine row gather per stratum covers
+       all ``stratum`` rungs (their cells span < 4 cells by construction).
     3. the surviving rungs compact into the (N, s_max) sample rows exactly as
        the one-level march.
 
     Sample-for-sample identical to :func:`march_rays_train` whenever a ray's
     occupied-coarse strata fit the ``s_strata`` budget (the parity test
-    asserts this); rays crossing more occupied strata truncate earlier —
+    asserts this); rays crossing more occupied strata sample stratified —
     the same kind of cap the reference applies at MAX_SAMPLES.
     """
     n = rays_o.shape[0]
@@ -201,9 +216,13 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
     dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, scale)
     t_start = jnp.where(valid_ray, t1 + dt0 * noise, 0.0)
 
-    # ---- stage A: coarse stratum tests
-    n_strata = -(-n_rungs // stratum)
+    # ---- stage A: coarse stratum tests (superstrata share one row gather)
     g_c = grid_size // 2
+    dt_min = SQRT3 / max_samples
+    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    n_super = -(-(-(-n_rungs // stratum)) // s_a)  # ceil(ceil(K/st)/s_a)
+    n_strata = n_super * s_a          # padded to a superstratum multiple
+    # padded strata lie past the ladder end, so t_first >= t2 masks them
     centers = (jnp.arange(n_strata, dtype=jnp.float32) * stratum
                + (stratum - 1) / 2.0)
     t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
@@ -211,8 +230,9 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
     xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
-    occ_c = bitfield_lookup(coarse_bitfield,
-                            morton3d(nxyz).astype(jnp.int32))
+    nxyz_g = nxyz.reshape(n, n_super, s_a, 3)
+    occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
+                                g_c).reshape(n, n_strata)
     # stratum is live if its first rung is before the exit
     t_first = t_ladder(t_start,
                        jnp.arange(n_strata, dtype=jnp.float32) * stratum,
@@ -234,15 +254,20 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
                         n_strata - 1)                             # (N, SA)
     sel_mask = (jj_rank + 1) <= jnp.minimum(n_occ, s_strata)[:, None]
 
-    # ---- stage B: exact fine tests inside the selected strata
+    # ---- stage B: exact fine tests inside the selected strata — one row
+    # gather per stratum covers all its rungs (span < 4 fine cells)
     ks = (j_sel[:, :, None] * stratum
           + jnp.arange(stratum, dtype=jnp.int32)[None, None, :]
           ).reshape(n, s_strata * stratum)                        # (N, SB)
     ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
                       scale)
-    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size, scale)
     xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
-    occ = _occupancy_at(xyz, dt_all, density_bitfield, 1, scale, grid_size)
+    bound = min(0.5, scale)  # cascade-0 box half-width (_occupancy_at parity)
+    nxyz_f = jnp.clip(0.5 * (xyz / bound + 1.0) * grid_size, 0.0,
+                      grid_size - 1.0).astype(jnp.int32)
+    nxyz_f = nxyz_f.reshape(n, s_strata, stratum, 3)
+    occ = neighborhood_lookup(fine_nbr, nxyz_f.min(axis=2), nxyz_f,
+                              grid_size).reshape(n, s_strata * stratum)
     occ = (occ & (ts_all < t2[:, None])
            & jnp.repeat(sel_mask, stratum, axis=1))
 
@@ -275,7 +300,8 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, density_bitfield,
                      0.0)
     return MarchResults(xyzs=xyzs, dirs=rays_d, deltas=deltas, ts=ts,
                         mask=mask, n_samples=n_samples,
-                        rm_samples=n_samples.sum())
+                        rm_samples=n_samples.sum(), k_idx=k_sel,
+                        t_start=t_start)
 
 
 def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,
@@ -285,16 +311,19 @@ def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,
 
     Conservativeness: the dilated coarse grid (cell size 4*scale/G, +-1-cell
     dilation) must cover every rung within half a stratum of the stratum
-    center, so (stratum/2)*dt_min <= 4*scale/G. Only the single-cascade
-    uniform-dt regime (synthetic scenes: exp_step_factor == 0) is supported;
-    real scenes keep the exact one-level march.
+    center, so (stratum/2)*dt_min <= 4*scale/G. The stage-B row gather
+    additionally needs a stratum's rung cells to fit one 4^3 fine
+    neighborhood: (stratum-1)*dt_min <= 3 fine cells. Only the
+    single-cascade uniform-dt regime (synthetic scenes: exp_step_factor ==
+    0) is supported; real scenes keep the exact one-level march.
     """
     if exp_step_factor != 0.0 or cascades != 1:
         return 0
     dt_min = SQRT3 / max_samples
     cell = 4.0 * scale / grid_size
+    cell_fine = 2.0 * min(0.5, scale) / grid_size
     stratum = int(2.0 * cell / dt_min)
-    stratum = min(stratum, 8)
+    stratum = min(stratum, int(3.0 * cell_fine / dt_min) + 1, 8)
     return stratum if stratum >= 2 else 0
 
 
@@ -309,20 +338,25 @@ class WindowMarchResults(NamedTuple):
 
 
 def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
-                               density_bitfield, coarse_bitfield, scale,
+                               fine_nbr, coarse_nbr, scale,
                                exp_step_factor, grid_size, max_samples,
                                n_window, s_cap, stratum, s_strata=None
                                ) -> WindowMarchResults:
     """Two-level variant of :func:`march_rays_window` (single cascade,
     uniform dt): coarse-test the window's strata, fine-test only the first
-    ``s_strata`` surviving strata. The cursor resumes after the s_cap-th
-    emitted sample, or at the first UNEXAMINED coarse-occupied stratum, or at
-    the window end — never skipping untested occupancy."""
+    ``s_strata`` surviving strata. Occupancy reads fetch 4^3-neighborhood
+    rows exactly as in :func:`march_rays_train_twolevel`. The cursor resumes
+    after the s_cap-th emitted sample, or at the first UNEXAMINED
+    coarse-occupied stratum, or at the window end — never skipping untested
+    occupancy."""
     if s_strata is None:
         s_strata = max(2, -(-2 * s_cap // stratum))
     c = rays_o.shape[0]
-    n_strata = -(-n_window // stratum)
     g_c = grid_size // 2
+    dt_min = SQRT3 / max_samples
+    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    n_super = -(-(-(-n_window // stratum)) // s_a)
+    n_strata = n_super * s_a          # padded; t_first >= t2 masks extras
 
     jj = jnp.arange(n_strata, dtype=jnp.float32)
     centers = cursor[:, None] + jj[None, :] * stratum + (stratum - 1) / 2.0
@@ -331,11 +365,16 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
     xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
-    occ_c = bitfield_lookup(coarse_bitfield,
-                            morton3d(nxyz).astype(jnp.int32))
+    nxyz_g = nxyz.reshape(c, n_super, s_a, 3)
+    occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
+                                g_c).reshape(c, n_strata)
     t_first = t_ladder(t_start, cursor[:, None] + jj[None, :] * stratum,
                        exp_step_factor, max_samples, grid_size, scale)
-    occ_c = occ_c & (t_first < t2[:, None])
+    # padded strata start at or past the window end: keep them out so no
+    # sample is emitted beyond cursor + n_window (it would double-emit
+    # after the cursor resumes at the window end)
+    occ_c = occ_c & (t_first < t2[:, None]) \
+        & (jj[None, :] * stratum < n_window)
 
     csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
     n_occ_strata = csum_a[:, -1]
@@ -349,9 +388,13 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
           ).reshape(c, s_strata * stratum)
     ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
                       scale)
-    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size, scale)
     xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
-    occ = _occupancy_at(xyz, dt_all, density_bitfield, 1, scale, grid_size)
+    bound = min(0.5, scale)  # cascade-0 box half-width (_occupancy_at parity)
+    nxyz_f = jnp.clip(0.5 * (xyz / bound + 1.0) * grid_size, 0.0,
+                      grid_size - 1.0).astype(jnp.int32)
+    nxyz_f = nxyz_f.reshape(c, s_strata, stratum, 3)
+    occ = neighborhood_lookup(fine_nbr, nxyz_f.min(axis=2), nxyz_f,
+                              grid_size).reshape(c, s_strata * stratum)
     occ = occ & (ts_all < t2[:, None]) & jnp.repeat(sel_mask, stratum, axis=1)
 
     csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)

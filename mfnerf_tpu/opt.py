@@ -149,5 +149,10 @@ def get_opts(argv=None):
                         help='[tpu] flat (ragged) sample evaluation budget '
                              'per ray; 0 (default) keeps the padded rows — '
                              'measured faster on current hardware')
+    parser.add_argument('--multihost', action='store_true', default=False,
+                        help='[tpu] call jax.distributed.initialize() for '
+                             'multi-host (DCN) runs; the data mesh then '
+                             'spans all hosts\' chips and validation '
+                             'metrics aggregate across processes')
 
     return parser.parse_args(argv)

@@ -44,6 +44,20 @@ def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def constrain_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
+    """Constrain in-jit batch arrays to be sharded on their leading (ray)
+    axis across ``data``. The GSPMD analogue of :func:`shard_batch` for
+    batches materialized INSIDE a jitted program (the fused runner's
+    on-device ray sampling): the constraint makes the partitioner slice the
+    sampling gather and everything downstream per-device, and insert the
+    gradient all-reduce where the loss mean crosses the sharded axis."""
+    if mesh is None:
+        return batch
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.lax.with_sharding_constraint(v, sharding)
+            for k, v in batch.items()}
+
+
 def replicate(tree, mesh: Optional[Mesh]):
     """Replicate a pytree (params / occupancy / poses) across the mesh."""
     if mesh is None:

@@ -26,7 +26,7 @@ from .losses import NeRFLoss
 from .models.ngp import NGP, NGPConfig, OccupancyState
 from .models.rendering import (MAX_SAMPLES, RenderConfig, render_test,
                                render_train)
-from .parallel.mesh import make_mesh, replicate, shard_batch
+from .parallel.mesh import constrain_batch, make_mesh, replicate
 from .utils.ckpt import load_ckpt, save_ckpt, slim_ckpt
 from .utils.metrics import psnr as psnr_fn
 from .utils.metrics import ssim as ssim_fn
@@ -218,7 +218,7 @@ class NeRFSystem:
 
     # ------------------------------------------------------- fused multi-step
     def make_fused_train_fn(self, n_img, hw, erode=False,
-                            same_image=False, rcfg=None):
+                            same_image=False, rcfg=None, mesh=None):
         """Build a jitted runner executing ``n_steps`` training steps in ONE
         device dispatch: on-device ray sampling from a staged ``rays`` array,
         occupancy-grid refresh every UPDATE_INTERVAL steps via ``lax.cond``,
@@ -230,6 +230,13 @@ class NeRFSystem:
         ~4 ms step. Steady-state only (the warmup<256 grid phase uses the
         per-step path, since warmup updates have a different cell-sampling
         shape).
+
+        With ``mesh`` (data parallelism) the sampled batch is
+        sharding-constrained on the ray axis, so the same fused program runs
+        SPMD across the mesh: per-device slices of the sampling gather and
+        the render/grad pipeline, one all-reduce at the loss/grad means —
+        the GSPMD equivalent of the reference's DDP (train.py:283-285)
+        without leaving the fused dispatch.
 
         Returns ``run(params, opt_state, occ, poses, directions, rays, key,
         step0, n_steps) -> (params, opt_state, occ, metrics)`` with
@@ -255,7 +262,7 @@ class NeRFSystem:
                      "rgb": picked[:, :3]}
             if rays.shape[-1] == 4:
                 batch["exposure"] = picked[:, 3:4]
-            return batch
+            return constrain_batch(batch, mesh)
 
         zero_metrics = {k: jnp.zeros(()) for k in
                         ("loss", "psnr", "rm_s", "vr_s", "lr")}
@@ -327,24 +334,26 @@ class NeRFSystem:
 
         total_steps = hp.num_epochs * self.steps_per_epoch
 
-        # steady-state fused runner (single-chip): N steps per dispatch with
-        # on-device sampling; the multi-chip mesh path keeps per-step
-        # dispatches (batches are host-sharded across the mesh)
-        fused = fused_warm = None
-        if self.mesh is None:
-            kwargs = dict(
-                n_img=len(self.train_dataset.poses),
-                hw=self.train_dataset.img_wh[0]
-                * self.train_dataset.img_wh[1],
-                erode=erode,
-                same_image=hp.ray_sampling_strategy == "same_image")
-            fused = self.make_fused_train_fn(**kwargs)
-            # early steps run the padded evaluator: pre-pruning rm_s would
-            # overflow the flat sample budget and starve training
-            fused_warm = fused if self.rcfg.s_flat == 0 else \
-                self.make_fused_train_fn(
-                    rcfg=dataclasses.replace(self.rcfg, s_flat=0), **kwargs)
-            staged_rays = jnp.asarray(self.train_dataset.rays)
+        # steady-state fused runner: N steps per dispatch with on-device
+        # sampling. Multi-chip runs the SAME fused program with the sampled
+        # batch sharding-constrained across the mesh (GSPMD slices the
+        # pipeline and inserts the gradient all-reduce) — DP no longer falls
+        # back to RTT-dominated per-step dispatch
+        kwargs = dict(
+            n_img=len(self.train_dataset.poses),
+            hw=self.train_dataset.img_wh[0]
+            * self.train_dataset.img_wh[1],
+            erode=erode,
+            same_image=hp.ray_sampling_strategy == "same_image",
+            mesh=self.mesh)
+        fused = self.make_fused_train_fn(**kwargs)
+        # early steps run the padded evaluator: pre-pruning rm_s would
+        # overflow the flat sample budget and starve training
+        fused_warm = fused if self.rcfg.s_flat == 0 else \
+            self.make_fused_train_fn(
+                rcfg=dataclasses.replace(self.rcfg, s_flat=0), **kwargs)
+        staged_rays = replicate(jnp.asarray(self.train_dataset.rays),
+                                self.mesh)
 
         def log_metrics(metrics, step):
             m = jax.device_get(metrics)
@@ -362,30 +371,15 @@ class NeRFSystem:
         # the dense occupancy refresh makes warmup and steady-state updates
         # the same program, so the fused runner can serve every step
         while step < total_steps:
-            if fused is not None:
-                chunk = min(FUSED_CHUNK, total_steps - step)
-                if step < FLAT_AFTER:
-                    chunk = min(chunk, FLAT_AFTER - step)
-                run = fused_warm if step < FLAT_AFTER else fused
-                key, sub = jax.random.split(key)
-                self.params, self.opt_state, self.occ, metrics = run(
-                    self.params, self.opt_state, self.occ, self.poses,
-                    self.directions, staged_rays, sub, step, chunk)
-                step += chunk
-            else:
-                if step % UPDATE_INTERVAL == 0:
-                    key, sub = jax.random.split(key)
-                    self.occ = self._update_grid(
-                        self.params, self.occ, sub, step < WARMUP_STEPS,
-                        erode)
-                batch = self.train_dataset[step % self.steps_per_epoch]
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch = shard_batch(batch, self.mesh)
-                key, sub = jax.random.split(key)
-                self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, self.occ, self.poses,
-                    self.directions, batch, sub, step)
-                step += 1
+            chunk = min(FUSED_CHUNK, total_steps - step)
+            if step < FLAT_AFTER:
+                chunk = min(chunk, FLAT_AFTER - step)
+            run = fused_warm if step < FLAT_AFTER else fused
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, self.occ, metrics = run(
+                self.params, self.opt_state, self.occ, self.poses,
+                self.directions, staged_rays, sub, step, chunk)
+            step += chunk
 
             self.global_step = step
             if step - last_print >= 1000 or step == total_steps:
@@ -407,14 +401,30 @@ class NeRFSystem:
         psnrs, ssims, lpipss = [], [], []
         lpips_weights = getattr(hp, "lpips_weights", None)
         if eval_lpips and lpips_weights is None:
-            print("--eval_lpips requested but no --lpips_weights npz given; "
-                  "skipping LPIPS (see misc/export_lpips_weights.py)")
-            eval_lpips = False
+            # fail fast rather than silently dropping a requested metric:
+            # the reference's torchmetrics LPIPS downloads VGG16 weights at
+            # first use (train.py:69-71), which a no-egress deployment can't
+            raise ValueError(
+                "--eval_lpips needs --lpips_weights <npz>. Export it once on "
+                "a machine with network access: `pip install lpips && python "
+                "misc/export_lpips_weights.py --out lpips_vgg.npz`, then "
+                "pass --lpips_weights lpips_vgg.npz. (This environment has "
+                "no torchvision/lpips package and no egress, so the VGG16 "
+                "weights cannot be bundled; the JAX LPIPS implementation in "
+                "mfnerf_tpu/utils/lpips.py is parity-tested against a torch "
+                "replica in tests/test_lpips.py.)")
         if eval_lpips:  # fail fast on a bad weights file, before rendering
             from .utils.lpips import load_lpips_weights
             load_lpips_weights(lpips_weights)
         n_imgs = len(self.test_dataset)
+        # multi-host: round-robin the test images across processes, then
+        # all-gather the per-image metrics (the reference's
+        # all_gather_ddp_if_available, train.py:230-242)
+        n_proc = jax.process_count()
+        proc_id = jax.process_index()
         for i in range(n_imgs):
+            if i % n_proc != proc_id:
+                continue
             batch = self.test_dataset[i]
             rays_o, rays_d = get_rays(
                 jnp.asarray(self.test_dataset.directions),
@@ -451,6 +461,20 @@ class NeRFSystem:
             print(f"val image {i + 1}/{n_imgs}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in logs.items()), flush=True)
 
+        if n_proc > 1:  # gather every rank's per-image metrics
+            from jax.experimental import multihost_utils
+
+            def allgather_list(vals):
+                pad = -np.ones(n_imgs, np.float32)  # ragged -> padded
+                pad[:len(vals)] = vals
+                g = multihost_utils.process_allgather(jnp.asarray(pad))
+                flat = np.asarray(g).reshape(-1)
+                return flat[flat >= 0].tolist()
+
+            psnrs = allgather_list(psnrs)
+            ssims = allgather_list(ssims)
+            lpipss = allgather_list(lpipss)
+
         out = {}
         if psnrs:
             out["test/psnr"] = float(np.mean(psnrs))
@@ -465,6 +489,10 @@ class NeRFSystem:
 
 def main(hparams):
     t_start = time.time()
+    if getattr(hparams, "multihost", False):
+        # DCN multi-host: the data mesh then spans every host's chips
+        # (reference DDP's multi-node analogue); idempotent if already up
+        jax.distributed.initialize()
     np.random.seed(hparams.seed)
 
     if hparams.val_only and (not hparams.ckpt_path):

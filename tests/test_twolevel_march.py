@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mfnerf_tpu.ops.morton import coarse_bitfield_from_fine
+from mfnerf_tpu.ops.morton import occupancy_nbr_tables
 from mfnerf_tpu.ops.ray_march import (march_rays_train,
                                       march_rays_train_twolevel,
                                       twolevel_stratum)
@@ -27,7 +27,7 @@ def _setup(occ_density=0.02, seed=0, n=256):
     fine = (rng.random(n_bytes * 8) < occ_density).astype(np.uint8)
     fine_bits = jnp.asarray(
         (fine.reshape(-1, 8) << np.arange(8)).sum(1).astype(np.uint8))
-    coarse_bits = coarse_bitfield_from_fine(fine_bits, GRID, 1)
+    coarse_nbr, fine_nbr = occupancy_nbr_tables(fine_bits, GRID)
 
     key = jax.random.PRNGKey(seed + 1)
     rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.3]]), (n, 1))
@@ -39,7 +39,7 @@ def _setup(occ_density=0.02, seed=0, n=256):
     hits_t = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
                                        jnp.full(3, SCALE))
     noise = jax.random.uniform(jax.random.PRNGKey(9), (n,))
-    return fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise
+    return fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise
 
 
 def test_stratum_selection():
@@ -51,7 +51,8 @@ def test_stratum_selection():
 
 @pytest.mark.parametrize("density", [0.005, 0.03])
 def test_twolevel_matches_onelevel(density):
-    fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise = _setup(density)
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(density)
     stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     assert stratum >= 2
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
@@ -61,7 +62,7 @@ def test_twolevel_matches_onelevel(density):
     one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
                            0.0, GRID, MAX_SAMPLES, noise, k, s_max)
     two = march_rays_train_twolevel(
-        rays_o, rays_d, hits_t, fine_bits, coarse_bits, SCALE, 0.0, GRID,
+        rays_o, rays_d, hits_t, fine_nbr, coarse_nbr, SCALE, 0.0, GRID,
         MAX_SAMPLES, noise, k, s_max, stratum, s_strata=64)
 
     # rays whose occupied strata fit the budget must agree exactly
@@ -86,14 +87,15 @@ def test_twolevel_budget_truncation_is_ordered_subsequence():
     SUBSEQUENCE of the one-level sample sequence — stratified along the ray
     (first-k truncation starves the far scene; see march docstring), never
     out-of-order or fabricated."""
-    fine_bits, coarse_bits, rays_o, rays_d, hits_t, noise = _setup(0.08)
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(0.08)
     stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
                          MAX_SAMPLES, GRID, SCALE)
     one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
                            0.0, GRID, MAX_SAMPLES, noise, k, 64)
     two = march_rays_train_twolevel(
-        rays_o, rays_d, hits_t, fine_bits, coarse_bits, SCALE, 0.0, GRID,
+        rays_o, rays_d, hits_t, fine_nbr, coarse_nbr, SCALE, 0.0, GRID,
         MAX_SAMPLES, noise, k, 64, stratum, s_strata=4)
     ts1, ts2 = np.asarray(one.ts), np.asarray(two.ts)
     n1 = np.asarray(one.n_samples)
