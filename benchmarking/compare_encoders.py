@@ -54,17 +54,26 @@ def run_one(grid, args, overrides=None):
     # over the tunneled chip is unreliable for timing AND execution, and
     # with the dense occupancy refresh there is no separate warmup program;
     # docs/TPU_NOTES.md "tunnel reliability")
+    import dataclasses
+    from mfnerf_tpu.train import FLAT_AFTER
     fused = system.make_fused_train_fn(
         n_img=len(system.train_dataset.poses), hw=args.wh * args.wh)
+    # flat (ragged) eval only after the grid has pruned (train.py FLAT_AFTER)
+    fused_warm = fused if system.rcfg.s_flat == 0 else \
+        system.make_fused_train_fn(
+            n_img=len(system.train_dataset.poses), hw=args.wh * args.wh,
+            rcfg=dataclasses.replace(system.rcfg, s_flat=0))
     rays = jnp.asarray(system.train_dataset.rays)
-    warm = max(WARMUP_STEPS, min(320, args.steps // 4))
+    warm = max(WARMUP_STEPS, min(320, args.steps // 4), FLAT_AFTER
+               if system.rcfg.s_flat else 0)
     n_meas = args.steps - warm
 
     def run_fused(n, step0):
         nonlocal key
         key, sub = jax.random.split(key)
-        return fused(system.params, system.opt_state, system.occ,
-                     system.poses, system.directions, rays, sub, step0, n)
+        run = fused_warm if step0 < FLAT_AFTER else fused
+        return run(system.params, system.opt_state, system.occ,
+                   system.poses, system.directions, rays, sub, step0, n)
 
     # chunk dispatches to seconds — device requests beyond ~0.5-1 min have
     # been killed by the tunnel ("TPU device error")

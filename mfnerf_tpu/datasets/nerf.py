@@ -1,8 +1,10 @@
-"""NeRF (Blender) synthetic dataset loader. Parity: reference datasets/nerf.py.
+"""NeRF (Blender) synthetic dataset loader.
 
-Reads transforms_{split}.json; 800x800 with fx from camera_angle_x; pose
-convention [right up back] -> [right down front]; camera radius normalized to
-1.5 (Jrender scenes get per-scene radii/shifts).
+Behavior parity with reference datasets/nerf.py, restructured around
+conventions.py: transforms_{split}.json frames, fx from camera_angle_x at the
+BLENDER_WH resolution, pose axes via AXIS_TO_RDF ('rub' for Blender, 'luf'
+for Jrender), camera radius normalized per JRENDER_RADIUS /
+BLENDER_POSE_RADIUS with JRENDER_SHIFT post-corrections.
 """
 import json
 import os
@@ -12,7 +14,18 @@ from tqdm import tqdm
 
 from .base import BaseDataset
 from .color_utils import read_image
+from .conventions import (BLENDER_POSE_RADIUS, BLENDER_WH, JRENDER_RADIUS,
+                          JRENDER_SHIFT, scene_name, to_rdf)
 from .ray_utils import get_ray_directions
+
+
+def _load_frames(root_dir, split):
+    names = ["train", "val"] if split == "trainval" else [split]
+    frames = []
+    for name in names:
+        with open(os.path.join(root_dir, f"transforms_{name}.json")) as f:
+            frames += json.load(f)["frames"]
+    return frames
 
 
 class NeRFDataset(BaseDataset):
@@ -25,46 +38,29 @@ class NeRFDataset(BaseDataset):
     def read_intrinsics(self):
         with open(os.path.join(self.root_dir, "transforms_train.json")) as f:
             meta = json.load(f)
-        w = h = int(800 * self.downsample)
-        fx = fy = 0.5 * 800 / np.tan(
+        w, h = (int(v * self.downsample) for v in BLENDER_WH)
+        fx = fy = 0.5 * BLENDER_WH[0] / np.tan(
             0.5 * meta["camera_angle_x"]) * self.downsample
         self.K = np.float32([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
         self.directions = get_ray_directions(h, w, self.K)
         self.img_wh = (w, h)
 
     def read_meta(self, split):
-        rays, poses = [], []
-        if split == "trainval":
-            with open(os.path.join(self.root_dir,
-                                   "transforms_train.json")) as f:
-                frames = json.load(f)["frames"]
-            with open(os.path.join(self.root_dir,
-                                   "transforms_val.json")) as f:
-                frames += json.load(f)["frames"]
-        else:
-            with open(os.path.join(self.root_dir,
-                                   f"transforms_{split}.json")) as f:
-                frames = json.load(f)["frames"]
+        frames = _load_frames(self.root_dir, split)
+        jrender = "Jrender_Dataset" in self.root_dir
+        scene = scene_name(self.root_dir)
+        radius = (JRENDER_RADIUS.get(scene, BLENDER_POSE_RADIUS) if jrender
+                  else BLENDER_POSE_RADIUS)
 
+        rays, poses = [], []
         print(f"Loading {len(frames)} {split} images ...")
         for frame in tqdm(frames):
-            c2w = np.array(frame["transform_matrix"])[:3, :4]
-
-            if "Jrender_Dataset" in self.root_dir:
-                c2w[:, :2] *= -1  # [left up front] -> [right down front]
-                folder = self.root_dir.split("/")
-                scene = folder[-1] if folder[-1] != "" else folder[-2]
-                pose_radius_scale = {"Easyship": 1.2, "Scar": 1.8,
-                                     "Coffee": 2.5, "Car": 0.8}.get(scene, 1.5)
-            else:
-                c2w[:, 1:3] *= -1  # [right up back] -> [right down front]
-                scene, pose_radius_scale = None, 1.5
-            c2w[:, 3] /= np.linalg.norm(c2w[:, 3]) / pose_radius_scale
-            if "Jrender_Dataset" in self.root_dir:
-                if scene == "Coffee":
-                    c2w[1, 3] -= 0.4465
-                elif scene == "Car":
-                    c2w[0, 3] -= 0.7
+            c2w = to_rdf(np.array(frame["transform_matrix"]),
+                         "luf" if jrender else "rub")
+            c2w[:, 3] /= np.linalg.norm(c2w[:, 3]) / radius
+            if jrender and scene in JRENDER_SHIFT:
+                row, delta = JRENDER_SHIFT[scene]
+                c2w[row, 3] += delta
             poses.append(c2w.astype(np.float32))
 
             img_path = os.path.join(self.root_dir,

@@ -1,10 +1,10 @@
 """NSVF-format loader (Synthetic-NeRF/NSVF, BlendedMVS, TanksAndTemples).
 
-Parity: reference datasets/nsvf.py — scene bbox from bbox.txt shifted/scaled
-into [-0.5, 0.5]^3 with 1.05 enlargement (+ the reference's per-scene Mic/Lego
-fudge factors), per-family intrinsics conventions, filename-prefix splits
-(0_ train / 1_ val / 2_ test), test_traj paths for BlendedMVS/TaT, and the
-Jade/Fountain black->white background fix.
+Behavior parity with reference datasets/nsvf.py, restructured around the
+declarative convention tables in conventions.py: family intrinsics/resolution
+(NSVF_FAMILIES), filename-prefix splits (NSVF_SPLIT_PREFIX), scene-bound
+fixes (NSVF_BOUND_FIX), the test_traj axis flip (AXIS_TO_RDF['ldf']) and the
+black->white background scenes (NSVF_BLACK_TO_WHITE).
 """
 import glob
 import os
@@ -14,6 +14,9 @@ from tqdm import tqdm
 
 from .base import BaseDataset
 from .color_utils import read_image
+from .conventions import (NSVF_BBOX_ENLARGE, NSVF_BLACK_TO_WHITE,
+                          NSVF_BOUND_FIX, NSVF_FAMILIES, NSVF_SPLIT_PREFIX,
+                          bound_into_unit_box, match_family, to_rdf)
 from .ray_utils import get_ray_directions
 
 
@@ -25,85 +28,65 @@ class NSVFDataset(BaseDataset):
             xyz_min, xyz_max = np.loadtxt(
                 os.path.join(root_dir, "bbox.txt"))[:6].reshape(2, 3)
             self.shift = (xyz_max + xyz_min) / 2
-            self.scale = (xyz_max - xyz_min).max() / 2 * 1.05
-            # per-scene bound fixes carried over from the reference
-            if "Mic" in self.root_dir:
-                self.scale *= 1.2
-            elif "Lego" in self.root_dir:
-                self.scale *= 1.1
+            self.scale = (xyz_max - xyz_min).max() / 2 * NSVF_BBOX_ENLARGE
+            for marker, fix in NSVF_BOUND_FIX.items():
+                if marker in self.root_dir:
+                    self.scale *= fix
             self.read_meta(split)
 
     def read_intrinsics(self):
-        if "Synthetic" in self.root_dir or "Ignatius" in self.root_dir:
-            with open(os.path.join(self.root_dir, "intrinsics.txt")) as f:
+        fam = match_family(self.root_dir, NSVF_FAMILIES)
+        w, h = (int(v * self.downsample) for v in fam["wh"])
+        path = os.path.join(self.root_dir, "intrinsics.txt")
+        if fam["fx_from_first_float"]:
+            with open(path) as f:
                 fx = fy = float(f.readline().split()[0]) * self.downsample
-            if "Synthetic" in self.root_dir:
-                w = h = int(800 * self.downsample)
-            else:
-                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
             K = np.float32([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
         else:
-            K = np.loadtxt(os.path.join(self.root_dir, "intrinsics.txt"),
-                           dtype=np.float32)[:3, :3]
-            if "BlendedMVS" in self.root_dir:
-                w, h = int(768 * self.downsample), int(576 * self.downsample)
-            elif "Tanks" in self.root_dir:
-                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
-            else:
-                w, h = int(800 * self.downsample), int(800 * self.downsample)
+            K = np.loadtxt(path, dtype=np.float32)[:3, :3]
             K[:2] *= self.downsample
         self.K = np.asarray(K, np.float32)
         self.directions = get_ray_directions(h, w, self.K)
         self.img_wh = (w, h)
+
+    def _split_prefix(self, split):
+        if split in NSVF_SPLIT_PREFIX:
+            return NSVF_SPLIT_PREFIX[split]
+        if split == "test":
+            synthetic = "Synthetic" in self.root_dir
+            return NSVF_SPLIT_PREFIX[("test", synthetic)]
+        raise ValueError(f"{split} split not recognized!")
+
+    def _bound(self, c2w):
+        return bound_into_unit_box(c2w, self.shift, 2 * self.scale)
 
     def read_meta(self, split):
         rays, poses = [], []
 
         if split == "test_traj":  # BlendedMVS and TanksAndTemples
             if "Ignatius" in self.root_dir:
-                poses_path = sorted(glob.glob(
-                    os.path.join(self.root_dir, "test_pose/*.txt")))
-                traj = [np.loadtxt(p) for p in poses_path]
+                traj = [np.loadtxt(p) for p in sorted(glob.glob(
+                    os.path.join(self.root_dir, "test_pose/*.txt")))]
             else:
-                traj = np.loadtxt(
-                    os.path.join(self.root_dir, "test_traj.txt"))
-                traj = traj.reshape(-1, 4, 4)
-            for pose in traj:
-                c2w = pose[:3]
-                c2w[:, 0] *= -1  # [left down front] -> [right down front]
-                c2w[:, 3] -= self.shift
-                c2w[:, 3] /= 2 * self.scale  # bound into [-0.5, 0.5]
-                poses.append(c2w.astype(np.float32))
+                traj = np.loadtxt(os.path.join(
+                    self.root_dir, "test_traj.txt")).reshape(-1, 4, 4)
+            poses = [self._bound(to_rdf(pose, "ldf")).astype(np.float32)
+                     for pose in traj]
         else:
-            if split == "train":
-                prefix = "0_"
-            elif split == "trainval":
-                prefix = "[0-1]_"
-            elif split == "trainvaltest":
-                prefix = "[0-2]_"
-            elif split == "val":
-                prefix = "1_"
-            elif "Synthetic" in self.root_dir:
-                prefix = "2_"  # test set for synthetic scenes
-            elif split == "test":
-                prefix = "1_"  # test set for real scenes
-            else:
-                raise ValueError(f"{split} split not recognized!")
+            prefix = self._split_prefix(split)
             img_paths = sorted(glob.glob(
                 os.path.join(self.root_dir, "rgb", prefix + "*.png")))
             pose_files = sorted(glob.glob(
                 os.path.join(self.root_dir, "pose", prefix + "*.txt")))
 
+            to_white = any(s in self.root_dir for s in NSVF_BLACK_TO_WHITE)
             print(f"Loading {len(img_paths)} {split} images ...")
             for img_path, pose in tqdm(list(zip(img_paths, pose_files))):
-                c2w = np.loadtxt(pose)[:3]
-                c2w[:, 3] -= self.shift
-                c2w[:, 3] /= 2 * self.scale
+                c2w = self._bound(to_rdf(np.loadtxt(pose), "rdf"))
                 poses.append(c2w.astype(np.float32))
 
                 img = read_image(img_path, self.img_wh)
-                if "Jade" in self.root_dir or "Fountain" in self.root_dir:
-                    # black background scenes -> white
+                if to_white:  # black-background scenes -> white
                     img[np.all(img <= 0.1, axis=-1)] = 1.0
                 rays.append(img)
             if rays:

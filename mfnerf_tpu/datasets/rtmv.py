@@ -1,5 +1,10 @@
-"""RTMV dataset loader. Parity: reference datasets/rtmv.py — per-frame json
-intrinsics/extrinsics, 0-100/105-150 splits, bbox shift/scale for `bricks`."""
+"""RTMV dataset loader.
+
+Behavior parity with reference datasets/rtmv.py, restructured around
+conventions.py: per-frame json intrinsics/extrinsics, index-range splits
+(RTMV_SPLITS), 'rub'->rdf axis flip, and bbox normalization for the
+RTMV_BOUND_SCENES environments.
+"""
 import glob
 import json
 import os
@@ -9,6 +14,8 @@ from tqdm import tqdm
 
 from .base import BaseDataset
 from .color_utils import read_image
+from .conventions import (RTMV_BBOX_ENLARGE, RTMV_BOUND_SCENES, RTMV_SPLITS,
+                          bound_into_unit_box, to_rdf)
 from .ray_utils import get_ray_directions
 
 
@@ -24,11 +31,11 @@ class RTMVDataset(BaseDataset):
             meta = json.load(f)["camera_data"]
         self.shift = np.array(meta["scene_center_3d_box"])
         self.scale = (np.array(meta["scene_max_3d_box"])
-                      - np.array(meta["scene_min_3d_box"])).max() / 2 * 1.05
-        fx = meta["intrinsics"]["fx"] * self.downsample
-        fy = meta["intrinsics"]["fy"] * self.downsample
-        cx = meta["intrinsics"]["cx"] * self.downsample
-        cy = meta["intrinsics"]["cy"] * self.downsample
+                      - np.array(meta["scene_min_3d_box"])).max() / 2 \
+            * RTMV_BBOX_ENLARGE
+        intr = meta["intrinsics"]
+        fx, fy, cx, cy = (intr[k] * self.downsample
+                          for k in ("fx", "fy", "cx", "cy"))
         w = int(meta["width"] * self.downsample)
         h = int(meta["height"] * self.downsample)
         self.K = np.float32([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
@@ -36,29 +43,21 @@ class RTMVDataset(BaseDataset):
         self.img_wh = (w, h)
 
     def read_meta(self, split):
-        rays, poses = [], []
-        if split == "train":
-            start_idx, end_idx = 0, 100
-        elif split == "trainval":
-            start_idx, end_idx = 0, 105
-        elif split == "test":
-            start_idx, end_idx = 105, 150
-        else:
-            start_idx, end_idx = 0, 150
+        start_idx, end_idx = RTMV_SPLITS.get(split, RTMV_SPLITS[None])
         img_paths = sorted(glob.glob(
             os.path.join(self.root_dir, "images/*")))[start_idx:end_idx]
         pose_files = sorted(glob.glob(
             os.path.join(self.root_dir, "*.json")))[start_idx:end_idx]
+        bound = any(s in self.root_dir for s in RTMV_BOUND_SCENES)
 
+        rays, poses = [], []
         print(f"Loading {len(img_paths)} {split} images ...")
         for img_path, pose in tqdm(list(zip(img_paths, pose_files))):
             with open(pose) as f:
                 p = json.load(f)["camera_data"]
-            c2w = np.array(p["cam2world"]).T[:3]
-            c2w[:, 1:3] *= -1
-            if "bricks" in self.root_dir:
-                c2w[:, 3] -= self.shift
-                c2w[:, 3] /= 2 * self.scale  # bound in [-0.5, 0.5]
+            c2w = to_rdf(np.array(p["cam2world"]).T, "rub")
+            if bound:
+                c2w = bound_into_unit_box(c2w, self.shift, 2 * self.scale)
             poses.append(c2w)
             rays.append(read_image(img_path, self.img_wh))
 

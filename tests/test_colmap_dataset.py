@@ -119,3 +119,53 @@ def test_colmap_dataset_native_matches_python(tmp_path, monkeypatch):
     ds_python = ColmapDataset(root, split="train")
     np.testing.assert_allclose(ds_native.poses, ds_python.poses, atol=1e-6)
     np.testing.assert_allclose(ds_native.rays, ds_python.rays, atol=1e-6)
+
+
+def test_colmap_pose_normalization_golden():
+    """Pin the PSNR-sensitive COLMAP pose centering+scaling exactly
+    (reference colmap.py:72-76 semantics): cameras on a ring looking inward,
+    point cloud around the origin -> centered poses and scaled points must
+    match the frozen golden values, and the nearest camera must sit at
+    distance 1.
+    """
+    import numpy as np
+    from mfnerf_tpu.datasets.colmap import (normalize_colmap_poses,
+                                            poses_from_colmap)
+
+    rng = np.random.default_rng(42)
+    n = 6
+    qvecs, tvecs = [], []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        c = np.array([3 * np.cos(a), 0.4 * np.sin(2 * a), 3 * np.sin(a)])
+        z = -c / np.linalg.norm(c)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        r = np.stack([x, y, z], 1).T  # w2c
+        t = -r @ c
+        qw = np.sqrt(max(0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
+        qvecs.append([qw, (r[2, 1] - r[1, 2]) / (4 * qw),
+                      (r[0, 2] - r[2, 0]) / (4 * qw),
+                      (r[1, 0] - r[0, 1]) / (4 * qw)])
+        tvecs.append(t)
+    pts3d = rng.normal(size=(50, 3)) * 0.5
+    poses = poses_from_colmap(np.array(qvecs), np.array(tvecs), np.arange(n))
+    p, pt = normalize_colmap_poses(poses, pts3d)
+
+    golden_p0 = np.array([
+        [-7.07106781e-01, 2.85500899e-17, 7.07106781e-01, -7.10843285e-01],
+        [-1.23091491e-01, 9.84731928e-01, -1.23091491e-01, 1.42250715e-01],
+        [-6.96310624e-01, -1.74077656e-01, -6.96310624e-01, 6.89087895e-01]])
+    golden_p3 = np.array([
+        [7.07106781e-01, 5.16422514e-17, -7.07106781e-01, 7.03526874e-01],
+        [1.23091491e-01, 9.84731928e-01, 1.23091491e-01, -1.03959526e-01],
+        [6.96310624e-01, -1.74077656e-01, 6.96310624e-01, -7.03687558e-01]])
+    golden_pt = np.array([[-0.12802475, -0.16070292, -0.02885745],
+                          [0.03896323, -0.25508209, 0.30961497]])
+    np.testing.assert_allclose(p[0], golden_p0, atol=1e-7)
+    np.testing.assert_allclose(p[3], golden_p3, atol=1e-7)
+    np.testing.assert_allclose(pt[:2], golden_pt, atol=1e-7)
+    np.testing.assert_allclose(
+        np.linalg.norm(p[..., 3], axis=-1).min(), 1.0, rtol=1e-12)
