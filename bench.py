@@ -33,9 +33,15 @@ def main():
     ap.add_argument("--grid", type=str, default="LowRank",
                     help="encoder (LowRank is the TPU-native fast path; "
                          "Hash is gather/scatter-bound, see docs/TPU_NOTES.md)")
-    ap.add_argument("--s_flat", type=int, default=0,
-                    help="flat (ragged) sample-eval budget per ray; 0 padded")
+    ap.add_argument("--s_flat", type=int, default=16,
+                    help="flat (ragged) sample-eval budget per ray (0 = "
+                         "padded rows). 16 comfortably covers the Lego-class "
+                         "steady-state rm_s ~12; early high-rm_s steps run "
+                         "padded via FLAT_AFTER")
     ap.add_argument("--s_max_train", type=int, default=64)
+    ap.add_argument("--lr_fused", type=int, default=1,
+                    help="LowRank fused nested-level evaluation (full-lane "
+                         "bf16 matmuls); 0 restores per-level fp32")
     ap.add_argument("--bf16", action="store_true", default=False,
                     help="bfloat16 matmul compute — measured 8x SLOWER than "
                          "fp32 on this encoder's shapes (VPU bf16 tiling of "
@@ -60,7 +66,7 @@ def main():
         s_max_test=256, test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
         lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16,
-        s_flat=args.s_flat)
+        s_flat=args.s_flat, lr_fused=bool(args.lr_fused))
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
@@ -101,10 +107,15 @@ def main():
     sizes = [chunk] * (args.steps // chunk) + (
         [args.steps % chunk] if args.steps % chunk else [])
 
-    # warmup (converge the occupancy grid) + compile of all chunk sizes
+    # warmup (converge the occupancy grid) + compile of all chunk sizes.
+    # With flat eval on, warm PAST the padded->flat switch at FLAT_AFTER so
+    # every timed chunk runs the flat program (chunks are selected by their
+    # START step).
     step = 0
-    warm_sizes = [chunk] * (args.warmup_steps // chunk) + (
-        [args.warmup_steps % chunk] if args.warmup_steps % chunk else [])
+    warm_total = args.warmup_steps if args.s_flat == 0 else max(
+        args.warmup_steps, FLAT_AFTER)
+    warm_sizes = [chunk] * (warm_total // chunk) + (
+        [warm_total % chunk] if warm_total % chunk else [])
     for n in warm_sizes + sorted(set(sizes) - set(warm_sizes)):
         system.params, system.opt_state, system.occ, m = run_fused(n, step)
         jax.block_until_ready(m["loss"])

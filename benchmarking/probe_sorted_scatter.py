@@ -13,6 +13,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def timed(fn, n_iter, *args):
     @jax.jit

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Per-round budget of the multi-round alive-ray test renderer.
+
+Trains the bench scene to steady state, then:
+  1. times the full 800x800 frame (current schedule),
+  2. times every schedule PREFIX (per-round time = successive differences),
+  3. reports per-round capacity / truly-alive rays / emitted samples /
+     padded field evaluations (the fill-rate data that sizes a flat
+     per-round evaluation budget).
+"""
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=8192)
+    ap.add_argument("--wh", type=int, default=800)
+    ap.add_argument("--warmup_steps", type=int, default=288)
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--lr_fused", type=int, default=1)
+    ap.add_argument("--no_prepass", action="store_true")
+    ap.add_argument("--schedule", type=str, default=None,
+                    help="JSON round schedule [[frac,w,s_cap(,q_flat)],...] "
+                         "overriding the RenderConfig default")
+    ap.add_argument("--field_probe", action="store_true",
+                    help="also time raw field fwd ns/sample")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mfnerf_tpu.datasets.memory import MemoryDataset
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.rendering import (_render_test_alive,
+                                             rasterize_block_ranges)
+    from mfnerf_tpu.train import NeRFSystem
+    from mfnerf_tpu.utils.procedural import make_scene
+
+    hp = argparse.Namespace(
+        root_dir="<memory>", dataset_name="nsvf", split="train",
+        downsample=1.0, scale=0.5, use_exposure=False, distortion_loss_w=0.0,
+        batch_size=args.batch_size, ray_sampling_strategy="all_images",
+        num_epochs=1, num_gpus=1, lr=1e-2, optimize_ext=False,
+        random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
+        exp_name="pa", ckpt_path=None, weight_path=None, grid="LowRank",
+        L=16, F=2, T=19, N_min=16, N_max=2048, N_tables=1, rgb_channels=64,
+        rgb_layers=2, seed=1337, s_max_train=64, s_max_test=256,
+        test_chunk=65536, lpips_weights=None, profile=False,
+        steps_per_epoch=1000, grid_size=128, max_samples=1024,
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=False,
+        s_flat=0, lr_fused=bool(args.lr_fused))
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
+    system = NeRFSystem(hp)
+    system.setup(MemoryDataset.from_scene(scene, "train"),
+                 MemoryDataset.from_scene(scene, "test"))
+    system.configure(jax.random.PRNGKey(0))
+    rays = jnp.asarray(system.train_dataset.rays)
+    hw = args.wh * args.wh
+
+    fused = system.make_fused_train_fn(n_img=16, hw=hw)
+    key = jax.random.PRNGKey(1)
+    step = 0
+    for n in [96] * (args.warmup_steps // 96):
+        key, sub = jax.random.split(key)
+        system.params, system.opt_state, system.occ, m = fused(
+            system.params, system.opt_state, system.occ, system.poses,
+            system.directions, rays, sub, step, n)
+        step += n
+    jax.block_until_ready(m["loss"])
+    print(f"warmup: psnr {float(m['psnr']):.2f} rm_s {float(m['rm_s']):.1f}",
+          file=sys.stderr)
+
+    model, params, occ = system.model, system.params, system.occ
+    cfg, rcfg = system.model_cfg, system.rcfg
+    if args.schedule:
+        import json
+        sched = tuple(tuple(r) for r in json.loads(args.schedule))
+        rcfg = dataclasses.replace(rcfg, rounds=sched, rounds_full=sched)
+
+    if args.field_probe:
+        import functools
+        for npts in (2 ** 21,):
+            xyz = jax.random.uniform(jax.random.PRNGKey(7), (npts, 3),
+                                     minval=-0.5, maxval=0.5)
+            dirs = jax.random.normal(jax.random.PRNGKey(8), (npts, 3))
+            dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+
+            @jax.jit
+            def probe(xyz, dirs):
+                def body(i, acc):
+                    s, r = model(params, xyz + i * 1e-7, dirs)
+                    return acc + s.sum() + r.sum()
+                return jax.lax.fori_loop(0, 8, body, jnp.float32(0))
+
+            jax.block_until_ready(probe(xyz, dirs))
+            t0 = time.perf_counter()
+            jax.block_until_ready(probe(xyz, dirs))
+            dt = (time.perf_counter() - t0) / 8
+            print(f"field fwd ({npts} samples, lr_fused={args.lr_fused}): "
+                  f"{dt * 1e3:.2f} ms = {dt / npts * 1e9:.2f} ns/sample")
+    batch = system.test_dataset[0]
+    rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
+                              jnp.asarray(batch["pose"]))
+
+    t_near = t_far = None
+    if not args.no_prepass:
+        t_near, t_far = rasterize_block_ranges(
+            cfg, occ.density_bitfield,
+            jnp.asarray(system.test_dataset.K, jnp.float32),
+            jnp.asarray(batch["pose"], jnp.float32)[:3, :4],
+            (args.wh, args.wh))
+        jax.block_until_ready(t_near)
+
+        def time_prepass():
+            t0 = time.perf_counter()
+            a, b = rasterize_block_ranges(
+                cfg, occ.density_bitfield,
+                jnp.asarray(system.test_dataset.K, jnp.float32),
+                jnp.asarray(batch["pose"], jnp.float32)[:3, :4],
+                (args.wh, args.wh))
+            jax.block_until_ready(a)
+            return time.perf_counter() - t0
+        print(f"prepass (rasterize_block_ranges): "
+              f"{min(time_prepass() for _ in range(3)) * 1e3:.1f} ms")
+
+    schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
+
+    # per-round stats (one run with stats collection)
+    *_, vr_total, stats = _render_test_alive(
+        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far, True)
+    stats = np.asarray(stats)
+    print(f"vr_total={int(vr_total)} "
+          f"({int(vr_total) / rays_o.shape[0]:.2f} samples/ray composited)")
+    print("round |  capacity |     alive |   emitted |  padded evals | fill")
+    for i, (c, alive, emitted, padded) in enumerate(stats):
+        print(f"  {i}   | {int(c):9d} | {int(alive):9d} | {int(emitted):9d}"
+              f" | {int(padded):13d} | {emitted / max(padded, 1):.3f}")
+    tot_pad = stats[:, 3].sum()
+    tot_emit = stats[:, 2].sum()
+    print(f"total padded field evals: {int(tot_pad)} "
+          f"(emitted {int(tot_emit)}, overall fill {tot_emit / tot_pad:.3f})")
+
+    # schedule-prefix timing
+    def time_sched(rounds):
+        r2 = dataclasses.replace(rcfg, rounds=tuple(rounds),
+                                 rounds_full=tuple(rounds))
+        out = _render_test_alive(model, params, occ, rays_o, rays_d, r2,
+                                 t_near, t_far)
+        jax.block_until_ready(out[0])
+        ts = []
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            out = _render_test_alive(model, params, occ, rays_o, rays_d, r2,
+                                     t_near, t_far)
+            jax.block_until_ready(out[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    prev = 0.0
+    for i in range(1, len(schedule) + 1):
+        t = time_sched(schedule[:i])
+        print(f"rounds[:{i}] {schedule[i - 1]}: {t * 1e3:8.1f} ms "
+              f"(round {i - 1}: +{(t - prev) * 1e3:.1f} ms)")
+        prev = t
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,10 @@ import argparse
 import sys
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()

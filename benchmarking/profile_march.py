@@ -10,6 +10,10 @@ import sys
 import time
 from functools import partial
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def timed(fn, n_iter, *args):
     import jax

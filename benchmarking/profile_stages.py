@@ -12,6 +12,10 @@ import sys
 import time
 from functools import partial
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def timed_loop(fn, n_iter, *args):
     """Time fn as a dependent fori_loop executed inside one jit."""

@@ -61,6 +61,11 @@ class NGPConfig:
     lr_frames: int = 2
     lr_k_min: int = 32
     lr_k_max: int = 512
+    # fused nested-level evaluation (one full-lane MXU matmul per axis
+    # instead of L lane-starved ones; bf16 operands, fp32 accumulation) —
+    # see ops/lowrank.lowrank_encode
+    lr_fused: bool = False
+    lr_matmul_dtype: str = "bfloat16"
     # matmul compute dtype: 'bfloat16' doubles MXU throughput; parameters,
     # sigma activation and compositing stay fp32 (mirrors the reference's
     # fp16-AMP-with-fp32-kernels policy, SURVEY §5 mixed precision)
@@ -91,7 +96,8 @@ class NGPConfig:
         return LowRankConfig.create(
             n_levels=self.lr_levels, k_min=self.lr_k_min,
             k_max=self.lr_k_max, rank=self.lr_rank,
-            n_frames=self.lr_frames, out_dim=self.L * self.F)
+            n_frames=self.lr_frames, out_dim=self.L * self.F,
+            fused=self.lr_fused, matmul_dtype=self.lr_matmul_dtype)
 
     @property
     def n_cells(self) -> int:

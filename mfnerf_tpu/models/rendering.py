@@ -16,8 +16,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.composite import (composite_test_step, composite_train,
-                             composite_train_flat, gather_rows_sorted)
+from ..ops.composite import (composite_test_step, composite_test_step_flat,
+                             composite_train, composite_train_flat,
+                             gather_rows_sorted)
 from ..ops.intersection import ray_aabb_intersect_single
 from ..ops.ray_march import (march_rays_train, march_rays_train_twolevel,
                              march_rays_window, march_rays_window_twolevel,
@@ -310,9 +311,10 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
     return near_pix.reshape(-1), far_pix.reshape(-1)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
+@partial(jax.jit, static_argnums=(0, 5, 8))
 def _render_test_alive(model, params, occ, rays_o, rays_d,
-                       rcfg: RenderConfig, t_near=None, t_far=None):
+                       rcfg: RenderConfig, t_near=None, t_far=None,
+                       collect_stats=False):
     """Multi-round alive-ray renderer — the whole schedule is ONE dispatch.
 
     The XLA re-design of the reference's test loop (rendering.py:46-118 +
@@ -322,6 +324,22 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     the alive flags (stable, so ray order is preserved); converged/exhausted
     rays stop costing field evaluations, which is where the FPS comes from
     (the dense single-pass path evaluates every padded sample).
+
+    TPU cost structure (docs/TPU_NOTES.md) shapes two further choices:
+
+    * ALL per-ray state lives in one packed (N, 16) fp32 matrix — XLA
+      gathers/scatters cost ~7-17 ns per ROW regardless of width, so one
+      packed row gather + one scatter per round replaces the ~14 per-array
+      ops the naive formulation pays.
+    * a round whose schedule entry carries a 4th element ``q`` evaluates the
+      field on a FLAT budget of c*q samples instead of the padded (c, s_cap)
+      block: emitted samples are compacted (ray-major), their t/dt/xyz
+      rebuilt closed-form from the gathered rung index, and composited by
+      segment cumsums (composite_test_step_flat). Rays whose samples
+      overflow the budget are truncated EXACTLY — their cursor resumes at
+      the first dropped rung and they stay alive for later rounds — so the
+      result is bit-identical to the padded path given enough total
+      schedule capacity.
     """
     cfg = model.cfg
     n = rays_o.shape[0]
@@ -335,67 +353,137 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     k_total = rcfg.n_rungs(cfg.scale, cfg.grid_size, test=True)
     dt_scale = rcfg._dt_scale(cfg.scale, True)
 
-    opacity = jnp.zeros((n,), jnp.float32)
-    depth = jnp.zeros((n,), jnp.float32)
-    rgb = jnp.zeros((n, 3), jnp.float32)
-    cursor = jnp.zeros((n,), jnp.int32)
+    cursor = jnp.zeros((n,), jnp.float32)
     alive = valid
     if t_near is not None and rcfg.exp_step_factor == 0:
         # rasterized block ranges: jump the cursor to the first rung at or
         # past t_near and clamp the exit to t_far (both conservative)
         dt_min = SQRT3 / rcfg.max_samples
-        cursor = jnp.clip(
-            jnp.ceil((t_near - t_start) / dt_min), 0, k_total
-        ).astype(jnp.int32)
+        cursor = jnp.clip(jnp.ceil((t_near - t_start) / dt_min), 0, k_total)
         t2 = jnp.minimum(t2, t_far)
         alive = alive & (t_near < t2)
     vr_total = jnp.int32(0)
+    stats = []
 
+    # packed per-ray state: one row gather/scatter per round moves ALL of it
+    zeros = jnp.zeros((n,), jnp.float32)
+    st = jnp.concatenate([
+        rays_o, rays_d, t_start[:, None], t2[:, None], cursor[:, None],
+        zeros[:, None], zeros[:, None], jnp.zeros((n, 3), jnp.float32),
+        alive.astype(jnp.float32)[:, None], zeros[:, None]], axis=1)
+    O, D, TS, T2, CU, OP, DE, RGB, AL = (slice(0, 3), slice(3, 6), 6, 7, 8,
+                                         9, 10, slice(11, 14), 14)
+
+    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                               cfg.scale, cfg.grid_size, cfg.cascades)
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
-    for i, (frac, w_len, s_cap) in enumerate(schedule):
+    for i, entry in enumerate(schedule):
+        frac, w_len, s_cap = entry[:3]
+        q_flat = entry[3] if len(entry) > 3 else 0
         c = min(max(int(round(n * frac)), 1), n)
         w_len = min(w_len, k_total)
         if c == n:
-            ids = jnp.arange(n, dtype=jnp.int32)
+            ids = None
+            row = st
         else:
-            _, ids = jax.lax.top_k(alive.astype(jnp.float32), c)
-        ro, rd = rays_o[ids], rays_d[ids]
-        stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                                   cfg.scale, cfg.grid_size, cfg.cascades)
+            _, ids = jax.lax.top_k(st[:, AL], c)
+            row = st[ids]
+        ro, rd = row[:, O], row[:, D]
+        ts0, t2_r = row[:, TS], row[:, T2]
+        cur = row[:, CU].astype(jnp.int32)
+        op_r, de_r, rgb_r = row[:, OP], row[:, DE], row[:, RGB]
+        alive_r = row[:, AL] > 0.5
+
         if stratum:  # gather-frugal two-level window (synthetic scenes)
             mr = march_rays_window_twolevel(
-                ro, rd, t_start[ids], t2[ids], cursor[ids],
-                occ.fine_nbr, occ.coarse_nbr, cfg.scale,
-                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-                w_len, s_cap, stratum)
+                ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
+                cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+                rcfg.max_samples, w_len, s_cap, stratum)
         else:
             mr = march_rays_window(
-                ro, rd, t_start[ids], t2[ids], cursor[ids],
-                occ.density_bitfield, cfg.cascades, cfg.scale,
-                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-                w_len, s_cap, dt_scale=dt_scale)
+                ro, rd, ts0, t2_r, cur, occ.density_bitfield, cfg.cascades,
+                cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+                rcfg.max_samples, w_len, s_cap, dt_scale=dt_scale)
 
-        xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
-        dir_flat = jnp.broadcast_to(rd[:, None, :],
-                                    (c, s_cap, 3)).reshape(-1, 3)
-        sigmas, rgbs = model(params, xyz_flat, dir_flat)
-        sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(c, s_cap)
-        rgbs = rgbs.reshape(c, s_cap, 3)
+        counts = jnp.where(alive_r, mr.n_samples, 0)
+        if q_flat and q_flat < s_cap:
+            # ---- flat round: field eval on c*q compacted samples ----
+            b = c * int(q_flat)
+            excl = jnp.cumsum(counts) - counts
+            allowed = jnp.clip(b - excl, 0, counts)
+            trunc = allowed < counts
+            # truncated rays resume at the first DROPPED sample's rung
+            k_resume = mr.k_idx[jnp.arange(c),
+                                jnp.minimum(allowed, s_cap - 1)]
+            cursor_new = jnp.where(trunc, k_resume, mr.cursor)
+            exhausted = jnp.where(trunc, False, mr.exhausted)
 
-        op_s, dep_s, rgb_s, alive_s = composite_test_step(
-            sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
-            opacity[ids], depth[ids], rgb[ids], alive[ids],
-            rcfg.T_threshold)
-        alive_s = alive_s & jnp.logical_not(mr.exhausted) \
-            & (mr.cursor < k_total)
-        vr_total = vr_total + jnp.where(alive[ids], mr.n_samples, 0).sum()
+            offs = (jnp.cumsum(allowed) - allowed).astype(jnp.int32)
+            total = allowed.sum()
+            marks = jnp.zeros((b,), jnp.int32).at[offs].add(
+                1, mode="drop", indices_are_sorted=True)
+            ray_id = jnp.cumsum(marks) - 1
+            pos = jnp.arange(b, dtype=jnp.int32) - offs[ray_id]
+            valid_f = jnp.arange(b) < total
+            k_f = mr.k_idx.reshape(-1)[
+                ray_id * s_cap + jnp.minimum(pos, s_cap - 1)]
+            row_f = row[ray_id]                      # one (b, 16) gather
+            ts_f = t_ladder(row_f[:, TS], k_f[:, None], rcfg.exp_step_factor,
+                            rcfg.max_samples, cfg.grid_size, dt_scale)[:, 0]
+            dt_f = calc_dt(ts_f, rcfg.exp_step_factor, rcfg.max_samples,
+                           cfg.grid_size, dt_scale)
+            ts_f = jnp.where(valid_f, ts_f, 0.0)
+            d_f = row_f[:, D]
+            xyz_f = row_f[:, O] + ts_f[:, None] * d_f
+            sigmas, rgbs = model(params, xyz_f, d_f)
 
-        opacity = opacity.at[ids].set(op_s)
-        depth = depth.at[ids].set(dep_s)
-        rgb = rgb.at[ids].set(rgb_s)
-        cursor = cursor.at[ids].set(mr.cursor)
-        alive = alive.at[ids].set(alive_s)
+            op_s, dep_s, rgb_s, alive_s = composite_test_step_flat(
+                sigmas, rgbs, dt_f, ts_f, valid_f, ray_id, offs,
+                op_r, de_r, rgb_r, alive_r, rcfg.T_threshold)
+            emitted = allowed
+        else:
+            # ---- padded round: field eval on the full (c, s_cap) block ----
+            cursor_new, exhausted = mr.cursor, mr.exhausted
+            xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
+            dir_flat = jnp.broadcast_to(rd[:, None, :],
+                                        (c, s_cap, 3)).reshape(-1, 3)
+            sigmas, rgbs = model(params, xyz_flat, dir_flat)
+            sigmas = jnp.where(mr.mask.reshape(-1), sigmas,
+                               0.0).reshape(c, s_cap)
+            rgbs = rgbs.reshape(c, s_cap, 3)
+            op_s, dep_s, rgb_s, alive_s = composite_test_step(
+                sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+                op_r, de_r, rgb_r, alive_r, rcfg.T_threshold)
+            emitted = counts
 
+        alive_s = alive_s & jnp.logical_not(exhausted) \
+            & (cursor_new < k_total)
+        vr_total = vr_total + emitted.sum()
+
+        if collect_stats:
+            stats.append(jnp.stack([
+                jnp.float32(c),
+                alive_r.sum().astype(jnp.float32),
+                emitted.sum().astype(jnp.float32),
+                jnp.float32(c * int(q_flat) if q_flat and q_flat < s_cap
+                            else c * s_cap),
+            ]))
+
+        new_row = jnp.concatenate([
+            ro, rd, ts0[:, None], t2_r[:, None],
+            cursor_new.astype(jnp.float32)[:, None], op_s[:, None],
+            dep_s[:, None], rgb_s, alive_s.astype(jnp.float32)[:, None],
+            jnp.zeros((c, 1), jnp.float32)], axis=1)
+        if ids is None:
+            st = new_row
+        else:
+            st = st.at[ids].set(new_row)
+
+    rgb = st[:, RGB]
+    opacity = st[:, OP]
+    depth = st[:, DE]
+    if collect_stats:
+        return rgb, opacity, depth, vr_total, jnp.stack(stats)
     return rgb, opacity, depth, vr_total
 
 

@@ -172,6 +172,46 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
         wm_excl=wm_excl, vr_samples=include.sum())
 
 
+def composite_test_step_flat(sigmas, rgbs, deltas, ts, valid, ray_id,
+                             offsets, opacity, depth, rgb, alive,
+                             T_threshold):
+    """Flat (ragged) variant of :func:`composite_test_step`: fold a block of
+    ray-ordered FLAT samples into the persistent per-ray accumulators.
+
+    Identical math — the per-row exclusive cumprod of (1 - alpha) becomes a
+    segment-exclusive cumsum of sigma*delta in log space — but only the
+    emitted samples are touched (the padded rows evaluate every slot).
+
+    Args:
+        sigmas, deltas, ts: (B,) flat samples, segments contiguous per ray.
+        rgbs: (B, 3).
+        valid: (B,) bool.
+        ray_id: (B,) int32 ray of each sample; offsets: (N,) segment starts.
+        opacity, depth, rgb, alive: per-ray accumulators as in
+            :func:`composite_test_step`.
+    Returns:
+        (opacity, depth, rgb, alive) updated.
+    """
+    valid = valid & alive[ray_id]
+    sd = jnp.where(valid, sigmas.astype(jnp.float32)
+                   * deltas.astype(jnp.float32), 0.0)
+    sd = jnp.minimum(sd, 80.0)  # inf-safety, see composite_train_flat
+    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, opacity.shape[0])
+    t_start = 1.0 - opacity
+    t_excl = t_start[ray_id] * jnp.exp(-sd_excl)
+    alpha = 1.0 - jnp.exp(-sd)
+    include = (t_excl > T_threshold) & valid
+    w = jnp.where(include, alpha * t_excl, 0.0)
+
+    opacity = opacity + seg_sum(w, offsets)
+    depth = depth + seg_sum(w * ts, offsets)
+    rgb = rgb + seg_sum(w[:, None] * rgbs.astype(jnp.float32), offsets)
+
+    t_final = t_start * jnp.exp(-seg_sum(sd, offsets))
+    alive = alive & (t_final > T_threshold)
+    return opacity, depth, rgb, alive
+
+
 def composite_test_step(sigmas, rgbs, deltas, ts, mask, opacity, depth, rgb,
                         alive, T_threshold):
     """One incremental compositing round for the alive-ray test renderer.

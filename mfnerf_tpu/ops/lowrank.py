@@ -39,17 +39,36 @@ class LowRankConfig:
     rank: int = 16
     n_frames: int = 2
     out_dim: int = 32
+    # fused nested evaluation: levels must be NESTED ((K_max-1) % (K_l-1)
+    # == 0); all levels then fold exactly onto the finest hat basis via
+    # prolongation, turning the per-axis encoding into ONE
+    # (N, K_max) x (K_max, L*rank) matmul at full MXU lane width (see
+    # lowrank_encode). ``matmul_dtype`` is the operand dtype of that matmul
+    # (accumulation stays fp32) — the hat basis itself is built in fp32 and
+    # cast, which sidesteps the VPU bf16 hat-tiling slowdown that made the
+    # naive --bf16 mode 8x slower (docs/TPU_NOTES.md).
+    fused: bool = False
+    matmul_dtype: str = "bfloat16"
 
     @staticmethod
     def create(n_levels=8, k_min=32, k_max=512, rank=16, n_frames=2,
-               out_dim=32) -> "LowRankConfig":
-        if n_levels == 1:
+               out_dim=32, fused=False, matmul_dtype="bfloat16"
+               ) -> "LowRankConfig":
+        if fused:
+            # nested ladder: K-1 halves per level down from the finest.
+            # k_max is rounded up to 2^m + 1 so every level divides exactly.
+            base = 1 << max(n_levels - 1,
+                            math.ceil(math.log2(max(k_max - 1, 2))))
+            ks = tuple(base // (1 << i) + 1
+                       for i in reversed(range(n_levels)))
+        elif n_levels == 1:
             ks = (k_max,)
         else:
             b = (k_max / k_min) ** (1.0 / (n_levels - 1))
             ks = tuple(int(round(k_min * b ** i)) for i in range(n_levels))
         return LowRankConfig(levels=ks, rank=rank, n_frames=n_frames,
-                             out_dim=out_dim)
+                             out_dim=out_dim, fused=fused,
+                             matmul_dtype=matmul_dtype)
 
     @property
     def n_components(self) -> int:
@@ -110,30 +129,76 @@ def _hat_basis(u, k_res):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - ks))
 
 
+def _prolongation(k_fine: int, k_coarse: int) -> np.ndarray:
+    """(K_fine, K_coarse) matrix P with B_Kc(u) == B_Kf(u) @ P exactly.
+
+    Piecewise-linear nesting: when (K_fine-1) is a multiple of (K_coarse-1),
+    every coarse hat function is itself piecewise linear on the fine grid,
+    so sampling it at the fine knots reproduces it exactly under fine-hat
+    interpolation. P[i, j] = hat_j^{coarse}(fine knot i)."""
+    assert (k_fine - 1) % (k_coarse - 1) == 0, (k_fine, k_coarse)
+    r = (k_fine - 1) // (k_coarse - 1)
+    i = np.arange(k_fine, dtype=np.float64)[:, None] / r
+    j = np.arange(k_coarse, dtype=np.float64)[None, :]
+    return np.maximum(0.0, 1.0 - np.abs(i - j)).astype(np.float32)
+
+
 def lowrank_encode(params: dict, x: jnp.ndarray,
                    cfg: LowRankConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Encode positions x (N, 3) in [0,1] -> (N, out_dim). Pure autodiff —
     every op is dense, so no custom VJP is required. ``dtype`` controls the
     matmul compute precision (hat positions stay fp32; products and the
-    output projection accumulate in fp32 via preferred_element_type)."""
+    output projection accumulate in fp32 via preferred_element_type).
+
+    With ``cfg.fused`` (nested levels) the per-level matmuls collapse into
+    one (N, K_max) x (K_max, L*rank) contraction per (frame, axis): level
+    tables are prolongated onto the finest grid (exact — see
+    :func:`_prolongation`) and concatenated column-wise, so the MXU runs at
+    full 128-lane width instead of rank/128 (~12.5%) and only ONE hat basis
+    (K_max wide, vs sum of all K_l) is built per axis. Feature order and the
+    parameter pytree are identical to the unfused path.
+    """
     rots = jnp.asarray(_frame_rotations(cfg.n_frames))  # (M,3,3)
     xf = x.astype(jnp.float32)
     feats = []
-    for m in range(cfg.n_frames):
-        if m == 0:
-            u3 = xf
-        else:
-            # rotate about the domain center and renormalize into [0,1]
-            u3 = (xf - 0.5) @ rots[m].T / 1.7320508 + 0.5
-        u3 = jnp.clip(u3, 0.0, 1.0)
-        for li, k_res in enumerate(cfg.levels):
+    if cfg.fused:
+        mm_dt = jnp.dtype(cfg.matmul_dtype)
+        k_max = cfg.levels[-1]
+        prols = [jnp.asarray(_prolongation(k_max, k)) for k in cfg.levels]
+        for m in range(cfg.n_frames):
+            if m == 0:
+                u3 = xf
+            else:
+                u3 = (xf - 0.5) @ rots[m].T / 1.7320508 + 0.5
+            u3 = jnp.clip(u3, 0.0, 1.0)
             prod = None
             for d in range(3):
-                basis = _hat_basis(u3[:, d], k_res).astype(dtype)  # (N, K)
-                a = jnp.dot(basis, params["lines"][m][li][d].astype(dtype),
-                            preferred_element_type=jnp.float32)    # (N, R)
+                # fold every level's table onto the finest grid: (K_max, L*R)
+                w = jnp.concatenate(
+                    [p @ params["lines"][m][li][d]
+                     for li, p in enumerate(prols)], axis=1)
+                basis = _hat_basis(u3[:, d], k_max)       # fp32 VPU build
+                a = jnp.dot(basis.astype(mm_dt), w.astype(mm_dt),
+                            preferred_element_type=jnp.float32)  # (N, L*R)
                 prod = a if prod is None else prod * a
             feats.append(prod)
+    else:
+        for m in range(cfg.n_frames):
+            if m == 0:
+                u3 = xf
+            else:
+                # rotate about the domain center and renormalize into [0,1]
+                u3 = (xf - 0.5) @ rots[m].T / 1.7320508 + 0.5
+            u3 = jnp.clip(u3, 0.0, 1.0)
+            for li, k_res in enumerate(cfg.levels):
+                prod = None
+                for d in range(3):
+                    basis = _hat_basis(u3[:, d], k_res).astype(dtype)
+                    a = jnp.dot(basis,
+                                params["lines"][m][li][d].astype(dtype),
+                                preferred_element_type=jnp.float32)  # (N, R)
+                    prod = a if prod is None else prod * a
+                feats.append(prod)
     h = jnp.concatenate(feats, axis=1).astype(dtype)          # (N, M*L*R)
     return jnp.dot(h, params["proj"].astype(dtype),
                    preferred_element_type=jnp.float32)

@@ -335,6 +335,7 @@ class WindowMarchResults(NamedTuple):
     n_samples: jnp.ndarray  # (C,) int32 emitted this window (<= S)
     cursor: jnp.ndarray    # (C,) int32 next rung to inspect after this window
     exhausted: jnp.ndarray  # (C,) bool ray passed its exit before the cursor
+    k_idx: jnp.ndarray = None  # (C, S) int32 GLOBAL ladder rung per sample
 
 
 def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
@@ -439,7 +440,7 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
     exhausted = t_next >= t2
     return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
                               n_samples=n_samples, cursor=cursor_new,
-                              exhausted=exhausted)
+                              exhausted=exhausted, k_idx=k_sel)
 
 
 def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,
@@ -503,4 +504,4 @@ def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,
     exhausted = t_next >= t2
     return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
                               n_samples=n_samples, cursor=cursor_new,
-                              exhausted=exhausted)
+                              exhausted=exhausted, k_idx=k_glob)

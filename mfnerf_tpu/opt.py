@@ -136,6 +136,12 @@ def get_opts(argv=None):
                         help='[tpu] LowRank: coarsest 1D resolution')
     parser.add_argument('--lr_k_max', type=int, default=512,
                         help='[tpu] LowRank: finest 1D resolution')
+    parser.add_argument('--lr_fused', type=int, default=1,
+                        help='[tpu] LowRank: fused nested-level evaluation '
+                             '(levels snapped to a nested 2^m+1 ladder and '
+                             'folded into one full-MXU-lane bf16 matmul per '
+                             'axis). 1 (default) on; 0 restores the '
+                             'per-level fp32 path')
     parser.add_argument('--grid_size', type=int, default=128,
                         help='[tpu] occupancy grid resolution (reference '
                              'fixes 128)')

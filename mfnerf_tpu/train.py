@@ -77,6 +77,7 @@ class NeRFSystem:
             lr_frames=getattr(hparams, "lr_frames", 2),
             lr_k_min=getattr(hparams, "lr_k_min", 32),
             lr_k_max=getattr(hparams, "lr_k_max", 512),
+            lr_fused=getattr(hparams, "lr_fused", False),
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
             else "float32")
         self.model = NGP(self.model_cfg)

@@ -79,6 +79,37 @@ def test_alive_shrinking_schedule_matches_when_rays_exhaust():
     assert res_alive["total_samples"] > 0
 
 
+def test_flat_rounds_match_padded_rounds():
+    """Rounds with a flat sample budget (4-tuple schedule entries) must
+    reproduce the padded rounds exactly: generous budget -> identical
+    compaction; tight budget -> exact truncation with cursor resume, so the
+    final image still matches given later rounds with capacity to spare."""
+    for occ_fill in (0x33, 0x01):
+        model, params, occ, rays_o, rays_d = _setup(occ_fill=occ_fill)
+        base = ((1.0, 32, 8), (1.0, 32, 8), (1.0, 64, 16),
+                (0.5, 128, 32), (0.25, 256, 64), (0.25, 256, 64))
+        rcfg_pad = RenderConfig(max_samples=128, s_max_test=256,
+                                test_chunk=512, rounds=base,
+                                rounds_full=base)
+        # generous flat budgets (q == s_cap-1 < s_cap triggers flat path but
+        # rarely truncates) and tight ones (heavy truncation)
+        for qs in ((7, 7, 15, 31, 63, 63), (2, 2, 4, 8, 16, 63)):
+            flat = tuple(r + (q,) for r, q in zip(base, qs))
+            rcfg_flat = dataclasses.replace(rcfg_pad, rounds=flat,
+                                            rounds_full=flat)
+            res_p = render_test(model, params, occ, rays_o, rays_d, rcfg_pad)
+            res_f = render_test(model, params, occ, rays_o, rays_d,
+                                rcfg_flat)
+            np.testing.assert_allclose(np.asarray(res_f["rgb"]),
+                                       np.asarray(res_p["rgb"]), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(res_f["opacity"]),
+                                       np.asarray(res_p["opacity"]),
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.asarray(res_f["depth"]),
+                                       np.asarray(res_p["depth"]),
+                                       atol=5e-3)
+
+
 def test_alive_handles_missing_rays():
     model, params, occ, rays_o, rays_d = _setup()
     # point half the rays away from the box: they must return pure background

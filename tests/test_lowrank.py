@@ -67,6 +67,59 @@ def test_encode_fits_a_target_field():
     assert float(l) < 0.05 * l0, (l0, float(l))
 
 
+def test_fused_nested_matches_per_level():
+    """Fused evaluation (levels prolongated onto the finest hat basis, one
+    wide matmul per axis) must equal the per-level path exactly (same
+    params, fp32 operands): piecewise-linear nesting is exact."""
+    from mfnerf_tpu.ops.lowrank import _prolongation
+    cfg_f = LowRankConfig.create(n_levels=3, k_max=64, rank=4, n_frames=2,
+                                 out_dim=16, fused=True,
+                                 matmul_dtype="float32")
+    assert cfg_f.levels == (17, 33, 65)  # snapped to the nested ladder
+    cfg_u = LowRankConfig(levels=cfg_f.levels, rank=4, n_frames=2,
+                          out_dim=16, fused=False)
+    params = init_lowrank_params(jax.random.PRNGKey(0), cfg_f)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    out_f = lowrank_encode(params, x, cfg_f)
+    out_u = lowrank_encode(params, x, cfg_u)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-4, atol=2e-5)
+
+    # prolongation itself is exact on arbitrary query points
+    p = _prolongation(65, 17)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (128,))
+    fine = _hat_basis(u, 65) @ jnp.asarray(p)
+    coarse = _hat_basis(u, 17)
+    np.testing.assert_allclose(np.asarray(fine), np.asarray(coarse),
+                               atol=1e-5)
+
+    # gradients flow to every level's tables through the fused path
+    def loss(p):
+        return (lowrank_encode(p, x, cfg_f) ** 2).sum()
+    g = jax.grad(loss)(params)
+    for m in range(2):
+        for li in range(3):
+            for d in range(3):
+                assert float(jnp.abs(g["lines"][m][li][d]).sum()) > 0
+
+
+def test_fused_bf16_close_to_fp32():
+    cfg16 = LowRankConfig.create(n_levels=3, k_max=64, rank=4, n_frames=2,
+                                 out_dim=16, fused=True)
+    cfg32 = dataclasses_replace(cfg16, matmul_dtype="float32")
+    params = init_lowrank_params(jax.random.PRNGKey(0), cfg16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    o16 = np.asarray(lowrank_encode(params, x, cfg16))
+    o32 = np.asarray(lowrank_encode(params, x, cfg32))
+    scale = np.abs(o32).max()
+    assert np.abs(o16 - o32).max() < 0.03 * scale
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_ngp_with_lowrank_grid():
     from mfnerf_tpu.models.ngp import NGP, NGPConfig
     cfg = NGPConfig(scale=0.5, grid="LowRank", L=8, F=2, rgb_channels=16,
