@@ -39,6 +39,10 @@ def main():
                          "steady-state rm_s ~12; early high-rm_s steps run "
                          "padded via FLAT_AFTER")
     ap.add_argument("--s_max_train", type=int, default=64)
+    ap.add_argument("--scale", type=float, default=0.5,
+                    help="scene scale; > 0.5 exercises the multi-cascade "
+                         "exponential-dt marching (TaT/mip-360-class config) "
+                         "on a spread procedural scene")
     ap.add_argument("--lr_fused", type=int, default=1,
                     help="LowRank fused nested-level evaluation (full-lane "
                          "bf16 matmuls); 0 restores per-level fp32")
@@ -47,6 +51,14 @@ def main():
                          "fp32 on this encoder's shapes (VPU bf16 tiling of "
                          "the (N,K) hat bases dominates; docs/TPU_NOTES.md)")
     args = ap.parse_args()
+    if args.scale > 0.5 and args.s_flat:
+        # multi-cascade scenes march ~50 samples/ray steady-state — the flat
+        # budget (tuned for synthetic rm_s ~12) would truncate entire rays'
+        # samples each batch, which destabilizes training (measured: psnr
+        # 17 -> 2 over 200 flat steps at scale=4). Padded eval is correct at
+        # every occupancy.
+        print("scale > 0.5: forcing s_flat=0 (padded eval)", file=sys.stderr)
+        args.s_flat = 0
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +68,8 @@ def main():
 
     hp = argparse.Namespace(
         root_dir="<memory>", dataset_name="nsvf", split="train",
-        downsample=1.0, scale=0.5, use_exposure=False, distortion_loss_w=0.0,
+        downsample=1.0, scale=args.scale, use_exposure=False,
+        distortion_loss_w=0.0,
         batch_size=args.batch_size, ray_sampling_strategy="all_images",
         num_epochs=1, num_gpus=1, lr=1e-2, optimize_ext=False,
         random_bg=False, eval_lpips=False, val_only=False, no_save_test=True,
@@ -69,7 +82,9 @@ def main():
         s_flat=args.s_flat, lr_fused=bool(args.lr_fused))
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
+    spread = 1.0 if args.scale <= 0.5 else args.scale * 1.5
+    scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0,
+                       spread=spread)
     system = NeRFSystem(hp)
     system.setup(MemoryDataset.from_scene(scene, "train"),
                  MemoryDataset.from_scene(scene, "test"))

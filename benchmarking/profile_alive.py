@@ -30,6 +30,10 @@ def main():
                          "overriding the RenderConfig default")
     ap.add_argument("--field_probe", action="store_true",
                     help="also time raw field fwd ns/sample")
+    ap.add_argument("--no_prefix", action="store_true",
+                    help="skip per-round prefix timing (each prefix is a "
+                         "separate slow tunnel compile); report only the "
+                         "full-frame time + stats")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +151,25 @@ def main():
     tot_emit = stats[:, 2].sum()
     print(f"total padded field evals: {int(tot_pad)} "
           f"(emitted {int(tot_emit)}, overall fill {tot_emit / tot_pad:.3f})")
+
+    # full-frame timing
+    def time_frame():
+        out = _render_test_alive(model, params, occ, rays_o, rays_d, rcfg,
+                                 t_near, t_far)
+        jax.block_until_ready(out[0])
+        ts = []
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            out = _render_test_alive(model, params, occ, rays_o, rays_d,
+                                     rcfg, t_near, t_far)
+            jax.block_until_ready(out[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    print(f"full frame ({len(schedule)} rounds): {time_frame() * 1e3:.1f} ms",
+          flush=True)
+    if args.no_prefix:
+        return
 
     # schedule-prefix timing
     def time_sched(rounds):

@@ -128,6 +128,8 @@ class OccupancyState:
     coarse_bitfield: jnp.ndarray  # (C*(G/2)^3//8,) uint8, dilated
     coarse_nbr: jnp.ndarray      # ((G/2)^3, 2) uint32 dilated-coarse rows
     fine_nbr: jnp.ndarray        # (G^3, 2) uint32 exact fine rows
+    union_bits: jnp.ndarray      # (G^3//8,) uint8 dilated world-space union
+    #                              of all cascades (multi-cascade marching)
 
     def tree_flatten_with_keys(self):
         return ((jax.tree_util.GetAttrKey("density_grid"), self.density_grid),
@@ -137,7 +139,9 @@ class OccupancyState:
                 (jax.tree_util.GetAttrKey("coarse_bitfield"),
                  self.coarse_bitfield),
                 (jax.tree_util.GetAttrKey("coarse_nbr"), self.coarse_nbr),
-                (jax.tree_util.GetAttrKey("fine_nbr"), self.fine_nbr)), None
+                (jax.tree_util.GetAttrKey("fine_nbr"), self.fine_nbr),
+                (jax.tree_util.GetAttrKey("union_bits"), self.union_bits)), \
+            None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -152,9 +156,22 @@ class OccupancyState:
         return occupancy_nbr_tables(density_bitfield, cfg.grid_size)
 
     @staticmethod
+    def _union_bits(density_bitfield, cfg: "NGPConfig"):
+        from ..ops.morton import union_bitfield
+        from ..ops.ray_march import cascades_stratum
+        stratum, dilate = cascades_stratum(
+            1 / 256 if cfg.scale > 0.5 else 0.0, cfg.scale, cfg.cascades)
+        if not stratum:
+            return jnp.zeros((1,), jnp.uint8)
+        return union_bitfield(density_bitfield, cfg.grid_size, cfg.cascades,
+                              dilate)
+
+    @staticmethod
     def create(cfg: NGPConfig) -> "OccupancyState":
         c, n = cfg.cascades, cfg.n_cells
         one = c == 1
+        multi = OccupancyState._union_bits(
+            jnp.zeros((c * n // 8,), jnp.uint8), cfg).shape[0] > 1
         return OccupancyState(
             density_grid=jnp.zeros((c, n), jnp.float32),
             density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
@@ -162,17 +179,20 @@ class OccupancyState:
             coarse_bitfield=jnp.zeros((c * n // 64,), jnp.uint8),
             coarse_nbr=jnp.zeros((n // 8 if one else 1, 2), jnp.uint32),
             fine_nbr=jnp.zeros((n if one else 1, 2), jnp.uint32),
+            union_bits=jnp.zeros((n // 8 if multi else 1,), jnp.uint8),
         )
 
     def refresh_coarse(self, cfg: NGPConfig) -> "OccupancyState":
-        """Rebuild the derived marching tables (coarse_bitfield + nbr rows)
-        from density_bitfield (after ckpt load / direct bitfield edits)."""
+        """Rebuild the derived marching tables (coarse_bitfield + nbr rows +
+        union bitfield) from density_bitfield (after ckpt load / direct
+        bitfield edits)."""
         from ..ops.morton import coarse_bitfield_from_fine
         coarse_nbr, fine_nbr = self._nbr_tables(self.density_bitfield, cfg)
         return dataclasses.replace(
             self, coarse_bitfield=coarse_bitfield_from_fine(
                 self.density_bitfield, cfg.grid_size, cfg.cascades),
-            coarse_nbr=coarse_nbr, fine_nbr=fine_nbr)
+            coarse_nbr=coarse_nbr, fine_nbr=fine_nbr,
+            union_bits=self._union_bits(self.density_bitfield, cfg))
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32):
@@ -448,4 +468,6 @@ class NGP:
                               count_grid=occ.count_grid,
                               coarse_bitfield=coarse,
                               coarse_nbr=coarse_nbr,
-                              fine_nbr=fine_nbr)
+                              fine_nbr=fine_nbr,
+                              union_bits=OccupancyState._union_bits(
+                                  bitfield, cfg))

@@ -20,9 +20,11 @@ from ..ops.composite import (composite_test_step, composite_test_step_flat,
                              composite_train, composite_train_flat,
                              gather_rows_sorted)
 from ..ops.intersection import ray_aabb_intersect_single
-from ..ops.ray_march import (march_rays_train, march_rays_train_twolevel,
-                             march_rays_window, march_rays_window_twolevel,
-                             twolevel_stratum)
+from ..ops.ray_march import (cascades_stratum, march_rays_train,
+                             march_rays_train_cascades,
+                             march_rays_train_twolevel, march_rays_window,
+                             march_rays_window_cascades,
+                             march_rays_window_twolevel, twolevel_stratum)
 from ..ops.stepping import calc_dt, max_ladder_steps, t_ladder
 
 MAX_SAMPLES = 1024     # reference rendering.py:7
@@ -114,6 +116,8 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
     noise = jax.random.uniform(key_noise, (rays_o.shape[0],))
     stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
                                cfg.scale, cfg.grid_size, cfg.cascades)
+    c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
+                                    cfg.cascades)
     if stratum:  # synthetic single-cascade scenes: gather-frugal march
         mr = march_rays_train_twolevel(
             rays_o, rays_d, hits_t, occ.fine_nbr,
@@ -121,6 +125,13 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
             cfg.grid_size, rcfg.max_samples, noise,
             rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
             stratum, s_strata=rcfg.s_strata)
+    elif c_stratum:  # real scenes: union-grid strata, exact fine rungs
+        mr = march_rays_train_cascades(
+            rays_o, rays_d, hits_t, occ.density_bitfield, occ.union_bits,
+            cfg.cascades, cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+            rcfg.max_samples, noise,
+            rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
+            c_stratum, s_strata=rcfg.s_strata)
     else:
         mr = march_rays_train(
             rays_o, rays_d, hits_t, occ.density_bitfield, cfg.cascades,
@@ -376,6 +387,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
 
     stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
                                cfg.scale, cfg.grid_size, cfg.cascades)
+    c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
+                                    cfg.cascades)
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
     for i, entry in enumerate(schedule):
         frac, w_len, s_cap = entry[:3]
@@ -399,6 +412,12 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
                 ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
                 cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
                 rcfg.max_samples, w_len, s_cap, stratum)
+        elif c_stratum:  # real scenes: union-grid strata window
+            mr = march_rays_window_cascades(
+                ro, rd, ts0, t2_r, cur, occ.density_bitfield,
+                occ.union_bits, cfg.cascades, cfg.scale,
+                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                w_len, s_cap, c_stratum, dt_scale=dt_scale)
         else:
             mr = march_rays_window(
                 ro, rd, ts0, t2_r, cur, occ.density_bitfield, cfg.cascades,

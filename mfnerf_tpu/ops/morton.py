@@ -223,6 +223,51 @@ def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int):
     return neighborhood_table(d), neighborhood_table(fine)
 
 
+def union_bitfield(fine_bitfield: jnp.ndarray, grid_size: int,
+                   cascades: int, dilate: int) -> jnp.ndarray:
+    """Dilated WORLD-SPACE union of every cascade's occupancy.
+
+    The stage-A structure for multi-cascade two-level marching
+    (ray_march.march_rays_train_cascades): one grid at ``grid_size``^3 over
+    the largest cascade's box [-S, S]^3 (S = 2^(cascades-1) * base, but only
+    relative placement matters here) where a cell is occupied iff ANY
+    cascade has an occupied cell intersecting it. Cascade c (half-extent
+    2^c smaller... i.e. factor f = 2^(cascades-1-c) smaller box) occupies
+    the central (G/f)^3 cells; its G^3 cells pool by OR over f^3 blocks.
+    The result is dilated by ``dilate`` cells per axis so that testing ONE
+    cell at a march stratum's center conservatively covers every rung
+    within ``dilate`` cell-widths of it.
+
+    Returns:
+        (grid_size^3 // 8,) uint8 packed bitfield in MORTON order (the same
+        bitfield_lookup addressing as the per-cascade fields).
+    """
+    g = grid_size
+    to_spatial, to_morton = _morton_spatial_perms(g)
+    union = jnp.zeros((g, g, g), jnp.bool_)
+    for c in range(cascades):
+        f = 1 << (cascades - 1 - c)
+        occ = _unpack_bits_morton(
+            fine_bitfield[c * g ** 3 // 8:(c + 1) * g ** 3 // 8], g ** 3)
+        occ = occ[jnp.asarray(to_spatial)].reshape(g, g, g)
+        if f > 1:
+            gf = g // f
+            pooled = occ.reshape(gf, f, gf, f, gf, f).any(axis=(1, 3, 5))
+            lo = (g - gf) // 2
+            union = union.at[lo:lo + gf, lo:lo + gf, lo:lo + gf].set(
+                union[lo:lo + gf, lo:lo + gf, lo:lo + gf] | pooled)
+        else:
+            union = union | occ
+    d = union
+    for axis in range(3):
+        for _ in range(dilate):
+            # wrap-around marks a few spurious edge cells: conservative
+            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+    d_m = d.reshape(-1)[jnp.asarray(to_morton)].reshape(-1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return (d_m.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
+
 def bitfield_lookup(bitfield: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Test occupancy bit ``idx`` in a packed bitfield.
 

@@ -24,6 +24,7 @@ the ``dt_scale`` argument to preserve sampling parity.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -302,6 +303,227 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
                         mask=mask, n_samples=n_samples,
                         rm_samples=n_samples.sum(), k_idx=k_sel,
                         t_start=t_start)
+
+
+def cascades_stratum(exp_step_factor, scale, cascades, stratum=8):
+    """Static (stratum, dilate) for the MULTI-cascade two-level march, or
+    (0, 0) when it can't be conservative.
+
+    Stage A tests one dilated-union cell per ``stratum`` ladder rungs (see
+    morton.union_bitfield + march_rays_train_cascades). Conservativeness:
+    every rung lies within half the stratum's t-span of the stratum's
+    t-midpoint, and span <= stratum * dt_max, so dilating by
+    ceil(stratum * sqrt(3)/2 * dt_worst/scale) + 1 union cells (cell width
+    2*scale/G, dt_max = sqrt(3)*2*dt_scale/G) covers it; +1 absorbs cell
+    quantization of the midpoint. dt_worst = max(scale, cascades) because
+    the reference's test kernel passes ``cascades`` where calc_dt expects
+    ``scale`` (bug parity, module doc). Requires 2*scale to be a power of
+    two so every cascade pools into the union grid on exact cell
+    boundaries (true of all reference benchmark recipes: scale 0.5..64).
+    """
+    if cascades == 1 or exp_step_factor == 0.0:
+        return 0, 0
+    if abs(math.log2(2 * scale) - round(math.log2(2 * scale))) > 1e-9:
+        return 0, 0
+    dt_worst = max(scale, cascades)
+    d = math.ceil(stratum * SQRT3 / 2.0 * dt_worst / scale) + 1
+    return stratum, d
+
+
+def march_rays_train_cascades(rays_o, rays_d, hits_t, density_bitfield,
+                              union_bits, cascades, scale, exp_step_factor,
+                              grid_size, max_samples, noise, n_rungs, s_max,
+                              stratum, s_strata=32, dt_scale=None
+                              ) -> MarchResults:
+    """Two-level MULTI-cascade training march (exp-dt ladder, mip grids).
+
+    The synthetic-scene two-level march (march_rays_train_twolevel) relies
+    on uniform dt to pack strata into 4^3-neighborhood rows; with
+    exponential stepping the stratum span varies ~40x along the ray, so
+    here:
+
+    1. stage A: ONE dilated-union-bitfield gather per ``stratum`` rungs, at
+       the stratum's t-midpoint (morton.union_bitfield pools every
+       cascade's occupancy into one world-space grid; the dilation from
+       :func:`cascades_stratum` makes the single-cell test a strict
+       superset of all the stratum's rungs across all mips);
+    2. the first ``s_strata`` surviving strata are selected (stratified
+       truncation when over budget, as in the synthetic march);
+    3. stage B: exact per-rung tests inside selected strata — the same
+       mip-selection + bitfield lookup as the one-level march
+       (_occupancy_at, parity with raymarching.cu:205-220).
+
+    Sample-for-sample identical to :func:`march_rays_train` whenever a
+    ray's occupied strata fit ``s_strata`` (parity-tested).
+    """
+    if dt_scale is None:
+        dt_scale = scale
+    n = rays_o.shape[0]
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    valid_ray = t1 >= 0
+    dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, dt_scale)
+    t_start = jnp.where(valid_ray, t1 + dt0 * noise, 0.0)
+
+    # ---- stage A: one union-cell test per stratum at its t-midpoint
+    n_strata = -(-n_rungs // stratum)
+    j_first = (jnp.arange(n_strata, dtype=jnp.float32) * stratum)
+    t_lo = t_ladder(t_start, j_first, exp_step_factor, max_samples,
+                    grid_size, dt_scale)                          # (N, A)
+    t_hi = t_ladder(t_start, j_first + stratum, exp_step_factor,
+                    max_samples, grid_size, dt_scale)
+    t_mid = 0.5 * (t_lo + t_hi)
+    xyz_c = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * grid_size, 0.0,
+                    grid_size - 1.0).astype(jnp.int32)
+    occ_c = bitfield_lookup(union_bits, morton3d(nxyz).astype(jnp.int32))
+    occ_c = occ_c & (t_lo < t2[:, None]) & valid_ray[:, None]
+
+    csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
+    n_occ = csum_a[:, -1]
+    # stratified truncation (see march_rays_train_twolevel)
+    jj_rank = jnp.arange(s_strata, dtype=jnp.int32)[None, :]
+    over = n_occ[:, None] > s_strata
+    ranks = jnp.where(
+        over, (jj_rank * n_occ[:, None]) // s_strata + 1, jj_rank + 1)
+    j_sel = jnp.minimum(compact_rung_indices_at(csum_a, ranks),
+                        n_strata - 1)                             # (N, SA)
+    sel_mask = (jj_rank + 1) <= jnp.minimum(n_occ, s_strata)[:, None]
+
+    # ---- stage B: exact per-rung mip-selected tests in selected strata
+    ks = (j_sel[:, :, None] * stratum
+          + jnp.arange(stratum, dtype=jnp.int32)[None, None, :]
+          ).reshape(n, s_strata * stratum)                        # (N, SB)
+    ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
+                      dt_scale)
+    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size,
+                     dt_scale)
+    xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+    occ = _occupancy_at(xyz, dt_all, density_bitfield, cascades, scale,
+                        grid_size)
+    occ = (occ & (ts_all < t2[:, None])
+           & jnp.repeat(sel_mask, stratum, axis=1)
+           & (ks < n_rungs))
+
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    n_total = jnp.minimum(csum[:, -1], max_samples)
+    n_samples = jnp.minimum(n_total, s_max).astype(jnp.int32)
+    queries = jnp.arange(1, s_max + 1, dtype=jnp.int32)
+    mask = queries[None, :] <= n_samples[:, None]
+
+    sb = s_strata * stratum
+    k_sel = jnp.zeros((n, s_max), jnp.int32)
+    sval = jnp.where(occ, csum, 0)
+    for b0 in range(0, sb, 128):
+        blk_s = sval[:, b0:b0 + 128, None]
+        blk_k = ks[:, b0:b0 + 128, None]
+        k_sel = k_sel + jnp.sum(
+            jnp.where(blk_s == queries[None, None, :], blk_k, 0),
+            axis=1, dtype=jnp.int32)
+    ts = t_ladder(t_start, k_sel, exp_step_factor, max_samples, grid_size,
+                  dt_scale)
+    deltas = calc_dt(ts, exp_step_factor, max_samples, grid_size, dt_scale)
+    ts = jnp.where(mask, ts, 0.0)
+    deltas = jnp.where(mask, deltas, 0.0)
+    xyzs = jnp.where(mask[..., None],
+                     rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                     0.0)
+    return MarchResults(xyzs=xyzs, dirs=rays_d, deltas=deltas, ts=ts,
+                        mask=mask, n_samples=n_samples,
+                        rm_samples=n_samples.sum(), k_idx=k_sel,
+                        t_start=t_start)
+
+
+def march_rays_window_cascades(rays_o, rays_d, t_start, t2, cursor,
+                               density_bitfield, union_bits, cascades,
+                               scale, exp_step_factor, grid_size,
+                               max_samples, n_window, s_cap, stratum,
+                               s_strata=None, dt_scale=None
+                               ) -> WindowMarchResults:
+    """Windowed (alive-ray renderer) variant of
+    :func:`march_rays_train_cascades`: stage A over the window's strata,
+    stage B exact inside the first ``s_strata`` surviving ones. Cursor
+    resume semantics match :func:`march_rays_window_twolevel`."""
+    if dt_scale is None:
+        dt_scale = scale
+    if s_strata is None:
+        s_strata = max(2, -(-2 * s_cap // stratum))
+    c = rays_o.shape[0]
+    n_strata = -(-n_window // stratum)
+
+    jj = jnp.arange(n_strata, dtype=jnp.float32)
+    j_first = cursor[:, None] + jj[None, :] * stratum
+    t_lo = t_ladder(t_start, j_first, exp_step_factor, max_samples,
+                    grid_size, dt_scale)
+    t_hi = t_ladder(t_start, j_first + stratum, exp_step_factor,
+                    max_samples, grid_size, dt_scale)
+    t_mid = 0.5 * (t_lo + t_hi)
+    xyz_c = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * grid_size, 0.0,
+                    grid_size - 1.0).astype(jnp.int32)
+    occ_c = bitfield_lookup(union_bits, morton3d(nxyz).astype(jnp.int32))
+    occ_c = occ_c & (t_lo < t2[:, None]) \
+        & (jj[None, :] * stratum < n_window)
+
+    csum_a = jnp.cumsum(occ_c.astype(jnp.int32), axis=1)
+    n_occ_strata = csum_a[:, -1]
+    j_sel = jnp.minimum(compact_rung_indices(csum_a, s_strata),
+                        n_strata - 1)
+    sel_mask = (jnp.arange(1, s_strata + 1, dtype=jnp.int32)[None, :]
+                <= n_occ_strata[:, None])
+
+    ks = (cursor[:, None, None] + j_sel[:, :, None] * stratum
+          + jnp.arange(stratum, dtype=jnp.int32)[None, None, :]
+          ).reshape(c, s_strata * stratum)
+    ts_all = t_ladder(t_start, ks, exp_step_factor, max_samples, grid_size,
+                      dt_scale)
+    dt_all = calc_dt(ts_all, exp_step_factor, max_samples, grid_size,
+                     dt_scale)
+    xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+    occ = _occupancy_at(xyz, dt_all, density_bitfield, cascades, scale,
+                        grid_size)
+    occ = (occ & (ts_all < t2[:, None])
+           & jnp.repeat(sel_mask, stratum, axis=1)
+           & (ks < cursor[:, None] + n_window))
+
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    n_found = csum[:, -1]
+    n_samples = jnp.minimum(n_found, s_cap).astype(jnp.int32)
+    queries = jnp.arange(1, s_cap + 1, dtype=jnp.int32)
+    mask = queries[None, :] <= n_samples[:, None]
+
+    sb = s_strata * stratum
+    k_sel = jnp.zeros((c, s_cap), jnp.int32)
+    sval = jnp.where(occ, csum, 0)
+    for b0 in range(0, sb, 128):
+        blk_s = sval[:, b0:b0 + 128, None]
+        blk_k = ks[:, b0:b0 + 128, None]
+        k_sel = k_sel + jnp.sum(
+            jnp.where(blk_s == queries[None, None, :], blk_k, 0),
+            axis=1, dtype=jnp.int32)
+
+    ts = t_ladder(t_start, k_sel, exp_step_factor, max_samples, grid_size,
+                  dt_scale)
+    deltas = calc_dt(ts, exp_step_factor, max_samples, grid_size, dt_scale)
+    ts = jnp.where(mask, ts, 0.0)
+    deltas = jnp.where(mask, deltas, 0.0)
+    xyzs = jnp.where(mask[..., None],
+                     rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                     0.0)
+
+    last_k = jnp.max(jnp.where(mask, k_sel, 0), axis=1)
+    trunc_strata = n_occ_strata > s_strata
+    j_next = jnp.minimum(
+        compact_rung_indices(csum_a, s_strata + 1)[:, -1], n_strata - 1)
+    cursor_after = jnp.where(
+        trunc_strata, cursor + j_next * stratum, cursor + n_window)
+    cursor_new = jnp.where(n_found > s_cap, last_k + 1,
+                           cursor_after).astype(jnp.int32)
+    t_next = t_ladder(t_start, cursor_new[:, None], exp_step_factor,
+                      max_samples, grid_size, dt_scale)[:, 0]
+    exhausted = t_next >= t2
+    return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
+                              n_samples=n_samples, cursor=cursor_new,
+                              exhausted=exhausted, k_idx=k_sel)
 
 
 def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,

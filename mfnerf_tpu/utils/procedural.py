@@ -41,8 +41,9 @@ _SPHERES = [
 ]
 
 
-def _render_gt(rays_o, rays_d, radius=None, center=None):
-    """Analytic render: checker-textured shaded spheres on white background.
+def _render_gt(rays_o, rays_d, radius=None, center=None, spread=1.0,
+               bg=1.0):
+    """Analytic render: checker-textured shaded spheres on ``bg`` background.
 
     Deliberately non-trivial (multiple objects, occlusion, high-frequency
     texture) so reconstruction PSNR discriminates encoder quality.
@@ -50,11 +51,14 @@ def _render_gt(rays_o, rays_d, radius=None, center=None):
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     n_rays = rays_o.shape[0]
     best_t = np.full(n_rays, np.inf, np.float32)
-    img = np.ones_like(rays_o)
+    img = np.full_like(rays_o, bg)
     if radius is not None:  # legacy single-sphere mode
         spheres = [(tuple(center or (0.0, 0.0, 0.0)), radius, 0)]
     else:
         spheres = _SPHERES
+    if spread != 1.0:
+        spheres = [(tuple(spread * x for x in ctr), spread * rad, mat)
+                   for ctr, rad, mat in spheres]
     for ctr, rad, mat in spheres:
         ctr = np.asarray(ctr, np.float32)
         co = rays_o - ctr
@@ -82,13 +86,25 @@ def _render_gt(rays_o, rays_d, radius=None, center=None):
 
 
 def make_scene(n_train=20, n_test=2, wh=64, cam_radius=1.5, fov_scale=1.0,
-               sphere_radius=0.35, seed=0):
+               sphere_radius=0.35, seed=0, spread=1.0):
     """Build an in-memory dataset dict for training/eval.
+
+    ``spread`` scales the sphere arrangement and camera ring uniformly —
+    spread > 1 produces content outside [-0.5, 0.5]^3 for exercising the
+    multi-cascade (scale > 0.5, exponential-dt) marching paths the real
+    large-scale datasets (TaT / mip-NeRF-360 / NeRF++) need. Spread scenes
+    render on a BLACK background to match the real-scene rendering
+    convention (exp_step_factor != 0 composites onto black,
+    models/rendering.py) — a white background would force the field to
+    fabricate a luminous far shell the real datasets don't have.
 
     Returns dict(poses, test_poses, K, directions, images (N, wh*wh, 3),
     test_images, img_wh).
     """
     rng = np.random.default_rng(seed)
+    if spread != 1.0:
+        cam_radius = cam_radius * spread
+        sphere_radius = None  # multi-sphere arrangement, scaled by spread
     f = wh * fov_scale  # ~53 deg fov
     K = np.float32([[f, 0, wh / 2], [0, f, wh / 2], [0, 0, 1]])
     directions = get_ray_directions(wh, wh, K)
@@ -113,7 +129,9 @@ def make_scene(n_train=20, n_test=2, wh=64, cam_radius=1.5, fov_scale=1.0,
         for c2w in pose_set:
             rays_d = directions @ c2w[:, :3].T
             rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)
-            imgs.append(_render_gt(rays_o, rays_d, sphere_radius))
+            imgs.append(_render_gt(rays_o, rays_d, sphere_radius,
+                                   spread=spread,
+                                   bg=0.0 if spread != 1.0 else 1.0))
         return np.stack(imgs)
 
     return {
