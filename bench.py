@@ -167,25 +167,43 @@ def main():
     if args.fps:
         from mfnerf_tpu.datasets.ray_utils import get_rays
         from mfnerf_tpu.models.rendering import render_test
-        batch = system.test_dataset[0]
-        rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
-                                  jnp.asarray(batch["pose"]))
-        camera = (system.test_dataset.K, batch["pose"],
-                  system.test_dataset.img_wh)
-        res = render_test(system.model, system.params, system.occ, rays_o,
-                          rays_d, system.rcfg, camera=camera)  # compile
-        jax.block_until_ready(res["rgb"])
-        frame_s = []
-        for _ in range(7):
+        # a ring of DISTINCT poses: identical dispatches are memoized by the
+        # tunnel server (docs/TPU_NOTES.md), and distinct frames are what a
+        # real orbit/GUI renders
+        fps_scene = make_scene(n_train=1, n_test=8, wh=args.wh, seed=0,
+                               spread=spread)
+        frames = []
+        for i in range(8):
+            pose = fps_scene["test_poses"][i]
+            rays_o, rays_d = get_rays(
+                jnp.asarray(fps_scene["directions"]), jnp.asarray(pose))
+            frames.append((rays_o, rays_d,
+                           (fps_scene["K"], pose, fps_scene["img_wh"])))
+
+        def render(i, guided):
+            ro, rd, cam = frames[i]
+            return render_test(system.model, system.params, system.occ,
+                               ro, rd, system.rcfg, camera=cam,
+                               guided=guided)
+
+        for guided in ([False, True] if args.scale <= 0.5 else [False]):
+            jax.block_until_ready(render(0, guided)["rgb"])  # compile
+            # blocking per-frame (interactive latency)
+            lat = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                jax.block_until_ready(render(i % 8, guided)["rgb"])
+                lat.append(time.perf_counter() - t0)
+            # pipelined (throughput): all frames in flight, one sync — the
+            # ~30 ms tunnel round trip amortizes away, as in a real viewer
             t0 = time.perf_counter()
-            res = render_test(system.model, system.params, system.occ,
-                              rays_o, rays_d, system.rcfg, camera=camera)
-            jax.block_until_ready(res["rgb"])
-            frame_s.append(time.perf_counter() - t0)
-        fps = 1.0 / float(np.median(frame_s))
-        print(f"render fps ({args.wh}x{args.wh}): {fps:.2f} "
-              f"(median of {len(frame_s)}; min {1 / max(frame_s):.2f}, "
-              f"max {1 / min(frame_s):.2f})", file=sys.stderr)
+            outs = [render(i, guided) for i in range(8)]
+            jax.block_until_ready([o["rgb"] for o in outs])
+            dt = (time.perf_counter() - t0) / 8
+            print(f"render fps ({args.wh}x{args.wh}, guided={guided}): "
+                  f"pipelined {1.0 / dt:.2f} ({dt * 1e3:.0f} ms/frame), "
+                  f"blocking median {1.0 / float(np.median(lat)):.2f}",
+                  file=sys.stderr)
 
     baseline = 805_600.0  # reference Lego training rays/s (2080 Ti)
     print(json.dumps({

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--schedule", type=str, default=None,
                     help="JSON round schedule [[frac,w,s_cap(,q_flat)],...] "
                          "overriding the RenderConfig default")
+    ap.add_argument("--schedules", type=str, default=None,
+                    help="JSON dict {name: schedule, ...}: render each with "
+                         "PSNR vs the default schedule's frame + full-frame "
+                         "time, in ONE process (warmup amortized)")
     ap.add_argument("--field_probe", action="store_true",
                     help="also time raw field fwd ns/sample")
     ap.add_argument("--no_prefix", action="store_true",
@@ -168,6 +172,61 @@ def main():
 
     print(f"full frame ({len(schedule)} rounds): {time_frame() * 1e3:.1f} ms",
           flush=True)
+
+    # fused one-dispatch frame (render_test with camera): blocking latency
+    # and pipelined throughput (4 frames in flight, rays perturbed so the
+    # tunnel can't memoize)
+    from mfnerf_tpu.models.rendering import render_test
+    camera = (system.test_dataset.K, batch["pose"], (args.wh, args.wh))
+    for guided in (False, True):
+        out = render_test(model, params, occ, rays_o, rays_d, rcfg,
+                          camera=camera, guided=guided)
+        jax.block_until_ready(out["rgb"])
+        lat = []
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            out = render_test(model, params, occ, rays_o + (i + 1) * 1e-6,
+                              rays_d, rcfg, camera=camera, guided=guided)
+            jax.block_until_ready(out["rgb"])
+            lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs = [render_test(model, params, occ, rays_o + (i + 10) * 1e-6,
+                            rays_d, rcfg, camera=camera, guided=guided)
+                for i in range(4)]
+        jax.block_until_ready([o["rgb"] for o in outs])
+        pipe = (time.perf_counter() - t0) / 4
+        print(f"fused frame guided={guided}: blocking {min(lat) * 1e3:.1f} "
+              f"ms, pipelined {pipe * 1e3:.1f} ms "
+              f"({1 / pipe:.2f} fps), vr={int(out['total_samples'])}",
+              flush=True)
+
+    if args.schedules:
+        import json
+        ref_rgb = None
+        for name, sched in json.loads(args.schedules).items():
+            r2 = dataclasses.replace(rcfg,
+                                     rounds=tuple(tuple(r) for r in sched),
+                                     rounds_full=tuple(tuple(r)
+                                                       for r in sched))
+            out = _render_test_alive(model, params, occ, rays_o, rays_d, r2,
+                                     t_near, t_far)
+            jax.block_until_ready(out[0])
+            if ref_rgb is None:
+                ref_rgb = out[0]
+                note = "(reference frame)"
+            else:
+                err = float(jnp.mean((out[0] - ref_rgb) ** 2))
+                note = f"psnr-vs-first {-10 * np.log10(max(err, 1e-12)):.1f}"
+            ts = []
+            for _ in range(args.frames):
+                t0 = time.perf_counter()
+                out = _render_test_alive(model, params, occ, rays_o,
+                                         rays_d, r2, t_near, t_far)
+                jax.block_until_ready(out[0])
+                ts.append(time.perf_counter() - t0)
+            print(f"  {name}: {min(ts) * 1e3:8.1f} ms/frame "
+                  f"({len(sched)} rounds) {note}", flush=True)
+        return
     if args.no_prefix:
         return
 

@@ -21,6 +21,10 @@ def main():
     extra.add_argument("--mesh", type=str, default=None)
     extra.add_argument("--mesh_resolution", type=int, default=256)
     extra.add_argument("--sigma_threshold", type=float, default=20.0)
+    extra.add_argument("--guided", action="store_true",
+                       help="depth-guided two-pass rendering (see "
+                            "models/rendering.render_test; approximate on "
+                            "silhouettes of sub-stride occluders)")
     extra_args, rest = extra.parse_known_args()
     hparams = get_opts(rest)
     if not hparams.ckpt_path:
@@ -63,7 +67,8 @@ def main():
         t0 = time.perf_counter()
         res = render_test(system.model, params, occ, rays_o, rays_d,
                           system.rcfg,
-                          camera=(dataset.K, batch["pose"], dataset.img_wh))
+                          camera=(dataset.K, batch["pose"], dataset.img_wh),
+                          guided=extra_args.guided)
         jax.block_until_ready(res["rgb"])
         times.append(time.perf_counter() - t0)
         line = f"image {i}: {times[-1] * 1e3:.0f} ms"

@@ -70,6 +70,14 @@ class RenderConfig:
     rounds_full: tuple = ((1.0, 256, 8), (0.5, 256, 8), (0.25, 256, 16),
                           (0.125, 512, 32), (0.0625, 1024, 64),
                           (0.03125, 4096, 128), (0.015625, 4096, 256))
+    # depth-guided two-pass rendering (render_test guided=True): most rays
+    # carry a tight [t_near, t_far] from the low-res depth pass, so the
+    # full-res schedule opens with a short window sized to the guided span
+    # and converges the bulk of the image in one round
+    rounds_guided: tuple = ((1.0, 48, 16), (0.25, 96, 16), (0.1, 256, 32),
+                            (0.04, 1024, 96), (0.015, 4096, 256))
+    guided_stride: int = 4         # low-res pass subsampling factor
+    guided_margin_cells: float = 2.0   # guided t-range slack, in fine cells
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -273,6 +281,13 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
     w, h = img_wh
     g_c = cfg.grid_size // 2
     occ_cells = occ_bitfield.reshape(-1)[:g_c ** 3] != 0     # coarse, morton
+    # (Splatting all g_c^3 cells is fine: the 262k-cell scatter-min/max is
+    # a few ms of device time — a per-dispatch timing of this function
+    # mostly measures the ~30 ms tunnel round trip. A top_k compaction to
+    # occupied cells was tried and REVERTED: any static occupancy budget
+    # small enough to save time overflows at realistic mid-training
+    # occupancies, and its conservative fallback — disabling the skip —
+    # costs far more than the scatter saves.)
     coords = morton3d_invert(jnp.arange(g_c ** 3, dtype=jnp.uint32))
     centers = ((coords.astype(jnp.float32) + 0.5) / g_c * 2.0 - 1.0) \
         * cfg.scale                                           # (M, 3)
@@ -506,8 +521,80 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     return rgb, opacity, depth, vr_total
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _guided_ranges(depth_lo, opacity_lo, t_near, t_far, img_wh, stride,
+                   margin):
+    """Per-PIXEL [t_near, t_far] from a low-res depth/opacity render.
+
+    A low-res pixel is trusted iff its whole 3x3 neighborhood composited
+    to (near-)full opacity — there the surface is locally smooth and
+    opaque, and every full-res ray inside the block must hit it within the
+    neighborhood's [min, max] depth span (padded by ``margin``). Everywhere
+    else (silhouettes, semi-transparency, background) the rasterized block
+    ranges are kept, so thin/edge content still gets the conservative
+    treatment. This is the TPU answer to "most pixels are interior pixels":
+    one cheap 1/stride^2-res frame converts them to 1-round rays.
+    """
+    w, h = img_wh
+    wl, hl = w // stride, h // stride
+    d = depth_lo.reshape(hl, wl)
+    ok = (opacity_lo.reshape(hl, wl) > 0.995)
+
+    big = jnp.float32(3.4e38)
+    dmin = jnp.where(ok, d, big)
+    dmax = jnp.where(ok, d, -big)
+    allv = ok
+    mn, mx = dmin, dmax
+    for ax in (0, 1):
+        mn = jnp.minimum(mn, jnp.minimum(
+            jnp.roll(mn, 1, ax), jnp.roll(mn, -1, ax)))
+        mx = jnp.maximum(mx, jnp.maximum(
+            jnp.roll(mx, 1, ax), jnp.roll(mx, -1, ax)))
+        allv = allv & jnp.roll(allv, 1, ax) & jnp.roll(allv, -1, ax)
+    # image-edge lo pixels wrap via roll: invalidate them (fallback there)
+    allv = allv.at[0, :].set(False).at[-1, :].set(False) \
+        .at[:, 0].set(False).at[:, -1].set(False)
+
+    up = lambda a: jnp.repeat(jnp.repeat(a, stride, 0), stride, 1)[
+        :h, :w].reshape(-1)
+    allv_px = up(allv)
+    near_g = jnp.maximum(up(mn) - margin, t_near)
+    far_g = jnp.minimum(up(mx) + margin, t_far)
+    return (jnp.where(allv_px, near_g, t_near),
+            jnp.where(allv_px, far_g, t_far))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 8, 9))
+def _render_frame(model, params, occ, rcfg: RenderConfig, rays_o, rays_d,
+                  k_cam, pose, img_wh, guided):
+    """ONE-dispatch frame: rasterized prepass (+ optional guided low-res
+    depth pass) + the multi-round alive renderer, fused into a single jit
+    so a frame costs one tunnel round trip and XLA can overlap the
+    stages. See render_test for semantics."""
+    t_near, t_far = rasterize_block_ranges(
+        model.cfg, occ.density_bitfield, k_cam, pose, img_wh)
+    vr_lo = jnp.int32(0)
+    if guided:
+        w, h = img_wh
+        s = rcfg.guided_stride
+        xx = jnp.arange(w // s) * s + s // 2
+        yy = jnp.arange(h // s) * s + s // 2
+        idx = (yy[:, None] * w + xx[None, :]).reshape(-1)
+        _, op_lo, de_lo, vr_lo = _render_test_alive(
+            model, params, occ, rays_o[idx], rays_d[idx], rcfg,
+            t_near[idx], t_far[idx])
+        margin = rcfg.guided_margin_cells * 2.0 * model.cfg.scale \
+            / model.cfg.grid_size
+        t_near, t_far = _guided_ranges(de_lo, op_lo, t_near, t_far,
+                                       (w, h), s, margin)
+        rcfg = dataclasses.replace(rcfg, rounds=rcfg.rounds_guided)
+    rgb, opacity, depth, vr = _render_test_alive(
+        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far)
+    return rgb, opacity, depth, vr + vr_lo
+
+
 def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
-                camera=None):
+                camera=None, guided=False):
     """Full-image test rendering via the multi-round alive-ray renderer.
 
     Parity target: __render_rays_test (rendering.py:46-118). Background
@@ -515,26 +602,35 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
     (K, c2w pose, img_wh) is given and the scene is single-cascade
     synthetic, a per-frame rasterization of occupied cells bounds each
     pixel block's [t_near, t_far] so rays skip empty space without
-    occupancy gathers (see rasterize_block_ranges).
+    occupancy gathers (see rasterize_block_ranges). ``guided=True`` adds a
+    1/stride^2-resolution depth pre-pass whose composited depth tightens
+    the per-pixel ranges on smooth opaque regions (see _guided_ranges) —
+    an approximation (thin sub-stride occluders in front of a locally
+    opaque surface can be missed) bounded by the opacity/neighborhood
+    gates; silhouettes and background keep the conservative block ranges.
+    With ``camera`` the whole frame (prepass + guided pass + all rounds)
+    is ONE jitted dispatch (_render_frame).
     """
-    t_near = t_far = None
     if (camera is not None and rcfg.exp_step_factor == 0
             and model.cfg.cascades == 1):
         k_cam, pose, img_wh = camera
-        t_near, t_far = rasterize_block_ranges(
-            model.cfg, occ.density_bitfield,
+        rgb, opacity, depth, vr_total = _render_frame(
+            model, params, occ, rcfg, rays_o, rays_d,
             jnp.asarray(k_cam, jnp.float32),
             jnp.asarray(pose, jnp.float32)[:3, :4],
-            (int(img_wh[0]), int(img_wh[1])))
-    rgb, opacity, depth, vr_total = _render_test_alive(
-        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far)
+            (int(img_wh[0]), int(img_wh[1])), bool(guided))
+    else:
+        rgb, opacity, depth, vr_total = _render_test_alive(
+            model, params, occ, rays_o, rays_d, rcfg, None, None)
     if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
         rgb_bg = jnp.ones(3)
     else:
         rgb_bg = jnp.zeros(3)
     rgb = rgb + rgb_bg * (1.0 - opacity)[:, None]
+    # total_samples stays a device scalar: converting here would force a
+    # sync per frame and defeat pipelined (multi-frame in flight) rendering
     return {"rgb": rgb, "opacity": opacity, "depth": depth,
-            "total_samples": int(vr_total)}
+            "total_samples": vr_total}
 
 
 def render_test_dense(model, params, occ, rays_o, rays_d,

@@ -67,9 +67,12 @@ class OrbitCamera:
 class NGPGUI:
     """Render a trained field from an orbit camera (GUI or offline)."""
 
-    def __init__(self, hparams, K, img_wh, radius=2.5):
+    def __init__(self, hparams, K, img_wh, radius=2.5, guided=True):
         import jax
         self.hparams = hparams
+        # interactive frames tolerate the guided pass's silhouette
+        # approximation (reference GUI itself renders at T_threshold=1e-2)
+        self.guided = guided
         system = NeRFSystem(hparams)
         self.model = system.model
         self.params = system.model.init(jax.random.PRNGKey(0))
@@ -99,7 +102,8 @@ class NGPGUI:
                                   jnp.asarray(cam.pose[:3], jnp.float32))
         results = render_test(self.model, self.params, self.occ,
                               rays_o, rays_d, self.rcfg,
-                              camera=(cam.K, cam.pose[:3], (cam.W, cam.H)))
+                              camera=(cam.K, cam.pose[:3], (cam.W, cam.H)),
+                              guided=self.guided)
         rgb = np.asarray(results["rgb"]).reshape(self.H, self.W, 3)
         depth = np.asarray(results["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t
