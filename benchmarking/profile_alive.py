@@ -32,8 +32,17 @@ def main():
                     help="JSON dict {name: schedule, ...}: render each with "
                          "PSNR vs the default schedule's frame + full-frame "
                          "time, in ONE process (warmup amortized)")
+    ap.add_argument("--guided_schedules", type=str, default=None,
+                    help="JSON dict {name: schedule}: time the FUSED guided "
+                         "frame (render_test camera+guided) with each "
+                         "schedule as rounds_guided; PSNR vs the unguided "
+                         "fused frame")
     ap.add_argument("--field_probe", action="store_true",
                     help="also time raw field fwd ns/sample")
+    ap.add_argument("--pre_block", type=int, default=16,
+                    help="rasterized-prepass pixel block size")
+    ap.add_argument("--pre_dilate", type=int, default=3,
+                    help="rasterized-prepass block dilation")
     ap.add_argument("--no_prefix", action="store_true",
                     help="skip per-round prefix timing (each prefix is a "
                          "separate slow tunnel compile); report only the "
@@ -118,13 +127,44 @@ def main():
     rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
                               jnp.asarray(batch["pose"]))
 
+    if args.guided_schedules:
+        # lean mode: go straight to the guided-schedule sweep (every extra
+        # phase is a multi-minute tunnel compile)
+        import json
+        from mfnerf_tpu.models.rendering import render_test
+        camera = (system.test_dataset.K, batch["pose"], (args.wh, args.wh))
+        ref = render_test(model, params, occ, rays_o, rays_d, rcfg,
+                          camera=camera, guided=False)
+        jax.block_until_ready(ref["rgb"])
+        for name, sched in json.loads(args.guided_schedules).items():
+            r2 = dataclasses.replace(
+                rcfg, rounds_guided=tuple(tuple(r) for r in sched))
+            out = render_test(model, params, occ, rays_o, rays_d, r2,
+                              camera=camera, guided=True)
+            jax.block_until_ready(out["rgb"])
+            err = float(jnp.mean((out["rgb"] - ref["rgb"]) ** 2))
+            t0 = time.perf_counter()
+            outs = [render_test(model, params, occ,
+                                rays_o + (i + 1) * 1e-6, rays_d, r2,
+                                camera=camera, guided=True)
+                    for i in range(4)]
+            jax.block_until_ready([o["rgb"] for o in outs])
+            pipe = (time.perf_counter() - t0) / 4
+            import numpy as _np
+            print(f"  {name}: pipelined {pipe * 1e3:8.1f} ms/frame "
+                  f"({1 / pipe:.2f} fps, {len(sched)} rounds) "
+                  f"psnr-vs-unguided "
+                  f"{-10 * _np.log10(max(err, 1e-12)):.1f} "
+                  f"vr={int(out['total_samples'])}", flush=True)
+        return
+
     t_near = t_far = None
     if not args.no_prepass:
         t_near, t_far = rasterize_block_ranges(
             cfg, occ.density_bitfield,
             jnp.asarray(system.test_dataset.K, jnp.float32),
             jnp.asarray(batch["pose"], jnp.float32)[:3, :4],
-            (args.wh, args.wh))
+            (args.wh, args.wh), args.pre_block, args.pre_dilate)
         jax.block_until_ready(t_near)
 
         def time_prepass():
@@ -133,7 +173,7 @@ def main():
                 cfg, occ.density_bitfield,
                 jnp.asarray(system.test_dataset.K, jnp.float32),
                 jnp.asarray(batch["pose"], jnp.float32)[:3, :4],
-                (args.wh, args.wh))
+                (args.wh, args.wh), args.pre_block, args.pre_dilate)
             jax.block_until_ready(a)
             return time.perf_counter() - t0
         print(f"prepass (rasterize_block_ranges): "
@@ -178,7 +218,8 @@ def main():
     # tunnel can't memoize)
     from mfnerf_tpu.models.rendering import render_test
     camera = (system.test_dataset.K, batch["pose"], (args.wh, args.wh))
-    for guided in (False, True):
+    for guided in (() if args.guided_schedules or args.schedules
+                   else (False, True)):
         out = render_test(model, params, occ, rays_o, rays_d, rcfg,
                           camera=camera, guided=guided)
         jax.block_until_ready(out["rgb"])

@@ -555,8 +555,13 @@ def _guided_ranges(depth_lo, opacity_lo, t_near, t_far, img_wh, stride,
     allv = allv.at[0, :].set(False).at[-1, :].set(False) \
         .at[:, 0].set(False).at[:, -1].set(False)
 
-    up = lambda a: jnp.repeat(jnp.repeat(a, stride, 0), stride, 1)[
-        :h, :w].reshape(-1)
+    def up(a):
+        # expand lo cells; edge-pad the sub-stride remainder rows/cols (the
+        # border lo pixels are invalidated above, so padded pixels fall
+        # back to the block ranges — conservative)
+        a = jnp.repeat(jnp.repeat(a, stride, 0), stride, 1)
+        return jnp.pad(a, ((0, h - hl * stride), (0, w - wl * stride)),
+                       mode="edge")[:h, :w].reshape(-1)
     allv_px = up(allv)
     near_g = jnp.maximum(up(mn) - margin, t_near)
     far_g = jnp.minimum(up(mx) + margin, t_far)

@@ -91,3 +91,18 @@ def test_guided_two_pass_matches_unguided():
     # the guided ranges must actually engage: fewer composited samples even
     # counting the low-res pass's own (included in total_samples)
     assert int(guided["total_samples"]) < int(plain["total_samples"])
+
+    # odd (non-stride-divisible, non-square) resolution: the lo grid
+    # edge-pads the remainder pixels (falling back to block ranges there)
+    from mfnerf_tpu.datasets.ray_utils import get_ray_directions
+    wo, ho = 61, 45
+    k_odd = np.float32([[48.0, 0, wo / 2], [0, 48.0, ho / 2], [0, 0, 1]])
+    dirs_odd = get_ray_directions(ho, wo, k_odd)
+    ro2, rd2 = get_rays(jnp.asarray(dirs_odd), pose)
+    cam_odd = (k_odd, pose, (wo, ho))
+    p2 = render_test(system.model, system.params, system.occ, ro2, rd2,
+                     system.rcfg, camera=cam_odd)
+    g2 = render_test(system.model, system.params, system.occ, ro2, rd2,
+                     system.rcfg, camera=cam_odd, guided=True)
+    err2 = float(jnp.mean((g2["rgb"] - p2["rgb"]) ** 2))
+    assert -10 * np.log10(max(err2, 1e-12)) > 30
