@@ -149,7 +149,9 @@ def main():
     for n in sizes:
         t0 = time.perf_counter()
         system.params, system.opt_state, system.occ, m = run_fused(n, step)
-        jax.block_until_ready(m["loss"])
+        # device_get, not block_until_ready: the latter can return before
+        # execution finishes over the tunnel (see the fps section note)
+        float(jax.device_get(m["loss"]))
         chunk_ms.append((time.perf_counter() - t0) * 1e3 / n)
         step += n
     med = float(np.median(chunk_ms))
@@ -186,19 +188,33 @@ def main():
                                ro, rd, system.rcfg, camera=cam,
                                guided=guided)
 
+        # completion barrier: device_get of an on-device scalar. Over the
+        # tunnel, block_until_ready has been observed to return BEFORE
+        # execution finishes (probe_sorted_scatter read 0.1 ms for a 600 ms
+        # scatter); fetching a value derived from the output is the only
+        # reliable barrier.
+        def fetch(o):
+            return float(jax.device_get(o["rgb"].sum()))
+
         for guided in ([False, True] if args.scale <= 0.5 else [False]):
-            jax.block_until_ready(render(0, guided)["rgb"])  # compile
+            try:
+                fetch(render(0, guided))  # compile
+            except Exception as e:  # e.g. HBM OOM on an untuned schedule
+                print(f"render fps guided={guided}: failed "
+                      f"({str(e)[:120]})", file=sys.stderr)
+                continue
             # blocking per-frame (interactive latency)
             lat = []
             for i in range(4):
                 t0 = time.perf_counter()
-                jax.block_until_ready(render(i % 8, guided)["rgb"])
+                fetch(render(i % 8, guided))
                 lat.append(time.perf_counter() - t0)
             # pipelined (throughput): all frames in flight, one sync — the
             # ~30 ms tunnel round trip amortizes away, as in a real viewer
             t0 = time.perf_counter()
             outs = [render(i, guided) for i in range(8)]
-            jax.block_until_ready([o["rgb"] for o in outs])
+            for o in outs:
+                fetch(o)
             dt = (time.perf_counter() - t0) / 8
             print(f"render fps ({args.wh}x{args.wh}, guided={guided}): "
                   f"pipelined {1.0 / dt:.2f} ({dt * 1e3:.0f} ms/frame), "

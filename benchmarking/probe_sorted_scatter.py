@@ -28,11 +28,16 @@ def timed(fn, n_iter, *args):
                                    (seed, jnp.zeros((), jnp.float32)))
         return acc
 
-    key = jax.random.PRNGKey(0)
-    jax.block_until_ready(run(key, *args))
+    # warmup and timed runs use DIFFERENT seeds: the tunnel memoizes
+    # byte-identical dispatches and returns instantly. block_until_ready
+    # alone has also been observed to return early over the tunnel —
+    # device_get of the scalar is the only reliable completion barrier.
+    float(jax.device_get(run(jax.random.PRNGKey(0), *args)))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(key, *args))
-    return (time.perf_counter() - t0) / n_iter * 1e3
+    v = float(jax.device_get(run(jax.random.PRNGKey(1), *args)))
+    dt = (time.perf_counter() - t0) / n_iter * 1e3
+    print(f"  (value {v:.3e})", file=sys.stderr)
+    return dt
 
 
 def main():
@@ -48,7 +53,7 @@ def main():
         idx = jax.random.randint(key, (m,), 0, t)
         val = jax.random.uniform(key, (m, 2))
         out = jnp.zeros((t, 2)).at[idx].add(val)
-        return out.sum()
+        return (out * out).sum()  # nonlinear: stops XLA folding sum(scatter(v)) -> sum(v)
 
     def sorted_scatter(key):
         idx = jax.random.randint(key, (m,), 0, t)
@@ -56,7 +61,7 @@ def main():
         idx = jnp.sort(idx)  # values deliberately not permuted — timing only
         out = jnp.zeros((t, 2)).at[idx].add(
             val, indices_are_sorted=True)
-        return out.sum()
+        return (out * out).sum()
 
     def sort_only(key):
         idx = jax.random.randint(key, (m,), 0, t)
@@ -75,7 +80,7 @@ def main():
         starts = jnp.searchsorted(idx, jnp.arange(t)) - 1
         out = (csum[jnp.maximum(ends, 0)] - csum[jnp.maximum(starts, 0)]) \
             * ((ends > starts)[:, None])
-        return out.sum()
+        return (out * out).sum()
 
     print(f"scatter-add {m} x2f32 into {t}: "
           f"{timed(unsorted, args.iters):.1f} ms")

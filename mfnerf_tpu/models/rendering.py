@@ -61,8 +61,13 @@ class RenderConfig:
     # finish exactly.
     # tuned with the rasterized t-range prepass active (rays start at
     # content): small early windows, fast capacity decay, full-ladder
-    # straggler rounds at tiny capacity
-    rounds: tuple = ((1.0, 64, 8), (0.375, 96, 8), (0.1875, 128, 16),
+    # straggler rounds at tiny capacity. Round 0's sample cap is 2: its
+    # measured fill was 0.011 (the first window mostly seeks), so cap 8->2
+    # cuts 3.8M padded field evals (~39 ms) at 52 dB agreement with the
+    # cap-8 schedule (rays emitting more resume exactly); halving the caps
+    # of the LATER rounds instead starves the queue and visibly diverges
+    # (27-32 dB) — see docs/TPU_NOTES.md round-2 frame anatomy.
+    rounds: tuple = ((1.0, 64, 2), (0.375, 96, 8), (0.1875, 128, 16),
                      (0.09375, 256, 32), (0.046875, 512, 64),
                      (0.0234375, 1024, 128), (0.01171875, 4096, 256))
     # without per-frame t-ranges rays may march long empty stretches before
@@ -73,8 +78,10 @@ class RenderConfig:
     # depth-guided two-pass rendering (render_test guided=True): most rays
     # carry a tight [t_near, t_far] from the low-res depth pass, so the
     # full-res schedule opens with a short window sized to the guided span
-    # and converges the bulk of the image in one round
-    rounds_guided: tuple = ((1.0, 48, 16), (0.25, 96, 16), (0.1, 256, 32),
+    # and converges the bulk of the image in one round. Round-0 cap is 8,
+    # not 16: at 800x800 a full-capacity 16-cap round materializes a
+    # (10.2M, 513) bf16 hat basis (~10.5 GB) and exhausts HBM
+    rounds_guided: tuple = ((1.0, 48, 8), (0.3, 96, 16), (0.1, 256, 32),
                             (0.04, 1024, 96), (0.015, 4096, 256))
     guided_stride: int = 4         # low-res pass subsampling factor
     guided_margin_cells: float = 2.0   # guided t-range slack, in fine cells
