@@ -76,8 +76,10 @@ def run_one(grid, args, overrides=None):
                    system.poses, system.directions, rays, sub, step0, n)
 
     # chunk dispatches to seconds — device requests beyond ~0.5-1 min have
-    # been killed by the tunnel ("TPU device error")
-    chunk = 96
+    # been killed by the tunnel ("TPU device error"). Gather-bound encoders
+    # (Hash/MixedFeature, ~0.5-1 s/step) need far smaller chunks than the
+    # all-matmul LowRank path.
+    chunk = args.chunk
     n_chunks = -(-n_meas // chunk)
     sizes = [chunk] * (n_meas // chunk) + ([n_meas % chunk]
                                            if n_meas % chunk else [])
@@ -97,9 +99,10 @@ def run_one(grid, args, overrides=None):
     for n in sizes:
         system.params, system.opt_state, system.occ, metrics = run_fused(
             n, step)
-        jax.block_until_ready(metrics["loss"])
+        # device_get, not block_until_ready: the latter can return before
+        # execution finishes over the tunnel (docs/TPU_NOTES.md)
         step += n
-        print(f"step {step}: psnr {float(metrics['psnr']):.2f}",
+        print(f"step {step}: psnr {float(jax.device_get(metrics['psnr'])):.2f}",
               file=sys.stderr, flush=True)
     dt = time.perf_counter() - t0
     ms_per_step = dt / n_meas * 1e3
@@ -133,6 +136,10 @@ def main():
     ap.add_argument("--wh", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=8192)
     ap.add_argument("--s_max", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=96,
+                    help="fused steps per dispatch (use ~8 for the slow "
+                         "gather-bound encoders: the tunnel kills ~1 min "
+                         "dispatches)")
     ap.add_argument("--grids", type=str, default="LowRank,Hash")
     ap.add_argument("--variants", type=str, default=None,
                     help="JSON list of hparam-override dicts, each with a "

@@ -107,7 +107,8 @@ class NGPGUI:
         rgb = np.asarray(results["rgb"]).reshape(self.H, self.W, 3)
         depth = np.asarray(results["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t
-        self.mean_samples = results["total_samples"] / (self.W * self.H)
+        self.mean_samples = float(results["total_samples"]) \
+            / (self.W * self.H)
         if self.img_mode == 0:
             return rgb
         return depth2img(depth).astype(np.float32) / 255.0
