@@ -85,6 +85,11 @@ class RenderConfig:
                             (0.04, 1024, 96), (0.015, 4096, 256))
     guided_stride: int = 4         # low-res pass subsampling factor
     guided_margin_cells: float = 2.0   # guided t-range slack, in fine cells
+    # completion sweep after the static rounds (capacity, window, cap):
+    # while_loop'd fixed-shape rounds until NO ray is alive — the static
+    # schedules are throughput tuning, this is the correctness guarantee
+    straggler: tuple = (49152, 512, 32)
+    straggler_max_iters: int = 512   # safety bound (progress is guaranteed)
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -412,11 +417,12 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
                                     cfg.cascades)
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
-    for i, entry in enumerate(schedule):
-        frac, w_len, s_cap = entry[:3]
-        q_flat = entry[3] if len(entry) > 3 else 0
-        c = min(max(int(round(n * frac)), 1), n)
-        w_len = min(w_len, k_total)
+
+    def run_round(st, vr_total, c, w_len, s_cap, q_flat):
+        """One alive-round at STATIC (c, w_len, s_cap, q_flat): top_k-select
+        c rays, march a window, field-eval, composite incrementally, scatter
+        the updated packed rows back. Used both unrolled (the schedule) and
+        as the body of the completion sweep below."""
         if c == n:
             ids = None
             row = st
@@ -501,14 +507,13 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             & (cursor_new < k_total)
         vr_total = vr_total + emitted.sum()
 
-        if collect_stats:
-            stats.append(jnp.stack([
-                jnp.float32(c),
-                alive_r.sum().astype(jnp.float32),
-                emitted.sum().astype(jnp.float32),
-                jnp.float32(c * int(q_flat) if q_flat and q_flat < s_cap
-                            else c * s_cap),
-            ]))
+        stat_row = jnp.stack([
+            jnp.float32(c),
+            alive_r.sum().astype(jnp.float32),
+            emitted.sum().astype(jnp.float32),
+            jnp.float32(c * int(q_flat) if q_flat and q_flat < s_cap
+                        else c * s_cap),
+        ])
 
         new_row = jnp.concatenate([
             ro, rd, ts0[:, None], t2_r[:, None],
@@ -519,6 +524,41 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             st = new_row
         else:
             st = st.at[ids].set(new_row)
+        return st, vr_total, stat_row
+
+    for entry in schedule:
+        frac, w_len, s_cap = entry[:3]
+        q_flat = entry[3] if len(entry) > 3 else 0
+        st, vr_total, stat_row = run_round(
+            st, vr_total, min(max(int(round(n * frac)), 1), n),
+            min(w_len, k_total), s_cap, q_flat)
+        if collect_stats:
+            stats.append(stat_row)
+
+    # ---- completion sweep: the static schedule above is tuned for
+    # throughput and makes NO completion guarantee — on content-dense
+    # frames its shrinking capacities starve the alive queue and rays end
+    # half-composited (measured: 8 dB vs the 29.9 dB oracle on a
+    # content-only 800x800 slice of a converged scene). Iterate
+    # fixed-shape straggler rounds until no ray is alive; every processed
+    # ray strictly advances its cursor, so <= ceil(n/c) * ceil(k_total/w)
+    # iterations terminate. The zero-straggler case costs one top_k +
+    # predicate per frame.
+    c_s, w_s, cap_s = rcfg.straggler
+    c_s = min(c_s, n)
+    w_s = min(w_s, k_total)
+
+    def sweep_cond(carry):
+        st, vr_total, it = carry
+        return (jnp.sum(st[:, AL]) > 0) & (it < rcfg.straggler_max_iters)
+
+    def sweep_body(carry):
+        st, vr_total, it = carry
+        st, vr_total, _ = run_round(st, vr_total, c_s, w_s, cap_s, 0)
+        return st, vr_total, it + 1
+
+    st, vr_total, sweep_iters = jax.lax.while_loop(
+        sweep_cond, sweep_body, (st, vr_total, jnp.int32(0)))
 
     rgb = st[:, RGB]
     opacity = st[:, OP]

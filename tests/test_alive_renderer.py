@@ -158,3 +158,25 @@ def test_rasterized_ranges_match_full_march():
     # and the prepass must actually engage (fewer marched samples), not
     # silently fall back to the full march
     assert fast["total_samples"] <= plain["total_samples"]
+
+
+def test_starving_schedule_completes_via_sweep():
+    """A schedule whose capacities can't possibly cover all alive rays must
+    STILL produce the oracle image: the completion sweep (while_loop'd
+    fixed-shape straggler rounds, rendering.py) picks up every ray the
+    static rounds dropped. Regression for the round-2 contract run, where
+    content-dense 800x800 frames starved (8 dB vs the 29.9 dB oracle)."""
+    model, params, occ, rays_o, rays_d = _setup()
+    rcfg = RenderConfig(
+        max_samples=128, s_max_test=256, test_chunk=512,
+        # one tiny round: 2% capacity, 32-rung window, cap 4 — hopeless
+        # without the sweep
+        rounds=((0.02, 32, 4),),
+        rounds_full=((0.02, 32, 4),),
+        straggler=(64, 64, 16))
+    res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    res_dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg)
+    np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
+                               np.asarray(res_dense["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
+                               np.asarray(res_dense["opacity"]), atol=2e-3)
