@@ -59,9 +59,15 @@ def ssim(img_pred, img_gt, data_range=1.0, kernel_size=11, sigma=1.5):
     mu_pp = filt(img_pred * img_pred)
     mu_gg = filt(img_gt * img_gt)
     mu_pg = filt(img_pred * img_gt)
-    var_p = mu_pp - mu_p * mu_p
-    var_g = mu_gg - mu_g * mu_g
+    # fp32 cancellation on near-constant windows (e.g. white background)
+    # can drive E[x^2]-E[x]^2 slightly negative and SSIM above 1; clamp
+    # variances and project the covariance onto Cauchy-Schwarz so the
+    # result is mathematically bounded by 1
+    var_p = jnp.maximum(mu_pp - mu_p * mu_p, 0.0)
+    var_g = jnp.maximum(mu_gg - mu_g * mu_g, 0.0)
     cov = mu_pg - mu_p * mu_g
+    bound = jnp.sqrt(var_p * var_g)
+    cov = jnp.clip(cov, -bound, bound)
     num = (2 * mu_p * mu_g + c1) * (2 * cov + c2)
     den = (mu_p ** 2 + mu_g ** 2 + c1) * (var_p + var_g + c2)
     return jnp.mean(num / den)
