@@ -59,22 +59,23 @@ class RenderConfig:
     # each round is a static-shape program — the whole schedule jits as one
     # dispatch. The final rounds sweep the remaining ladder so stragglers
     # finish exactly.
-    # tuned with the rasterized t-range prepass active (rays start at
-    # content): small early windows, fast capacity decay, full-ladder
-    # straggler rounds at tiny capacity. Round 0's sample cap is 2: its
-    # measured fill was 0.011 (the first window mostly seeks), so cap 8->2
-    # cuts 3.8M padded field evals (~39 ms) at 52 dB agreement with the
-    # cap-8 schedule (rays emitting more resume exactly); halving the caps
-    # of the LATER rounds instead starves the queue and visibly diverges
-    # (27-32 dB) — see docs/TPU_NOTES.md round-2 frame anatomy.
-    rounds: tuple = ((1.0, 64, 2), (0.375, 96, 8), (0.1875, 128, 16),
-                     (0.09375, 256, 32), (0.046875, 512, 64),
-                     (0.0234375, 1024, 128), (0.01171875, 4096, 256))
+    # Correctness never depends on these schedules — the completion sweep
+    # below finishes whatever they leave — so they are PURE throughput
+    # tuning. Tuned on the 800x800 bench scene with the prepass active:
+    # round 0 is a cheap seek (cap 2, measured fill 0.02), then capacity
+    # decays SLOWLY (0.5 -> 0.02) so the alive queue actually drains in
+    # well-filled mid-size rounds instead of spilling into the (smaller-
+    # batched) sweep: 720 -> 507 ms/frame over the round-1-style
+    # fast-decay schedule, identical image (docs/TPU_NOTES.md).
+    rounds: tuple = ((1.0, 64, 2), (0.5, 96, 8), (0.375, 128, 16),
+                     (0.25, 192, 24), (0.15, 256, 32), (0.08, 384, 48),
+                     (0.04, 1024, 96), (0.02, 4096, 128))
     # without per-frame t-ranges rays may march long empty stretches before
-    # content: wider windows, slower capacity decay
-    rounds_full: tuple = ((1.0, 256, 8), (0.5, 256, 8), (0.25, 256, 16),
-                          (0.125, 512, 32), (0.0625, 1024, 64),
-                          (0.03125, 4096, 128), (0.015625, 4096, 256))
+    # content: wider windows, same slow capacity decay
+    rounds_full: tuple = ((1.0, 256, 2), (0.5, 256, 8), (0.375, 256, 16),
+                          (0.25, 256, 24), (0.15, 512, 32),
+                          (0.08, 512, 48), (0.04, 1024, 96),
+                          (0.02, 4096, 128))
     # depth-guided two-pass rendering (render_test guided=True): most rays
     # carry a tight [t_near, t_far] from the low-res depth pass, so the
     # full-res schedule opens with a short window sized to the guided span
