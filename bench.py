@@ -9,10 +9,15 @@ throughput. vs_baseline is our rays/s divided by that number.
 
 No NeRF dataset ships in this environment, so the benchmark trains on a
 procedurally rendered multi-view scene (mfnerf_tpu/utils/procedural.py) at
-Lego's resolution (800x800) with the reference quickstart hyperparameters
-(Hash grid, L=16/F=2/T=19, batch 8192, grid 128^3, MAX_SAMPLES=1024). The
-occupancy grid is first converged with warmup updates so steady-state
-samples/ray is realistic.
+Lego's resolution (800x800) with the reference quickstart geometry/training
+hyperparameters (batch 8192, grid 128^3, MAX_SAMPLES=1024, lr schedule).
+
+ENCODER: the default is the TPU-native LowRank (CP) encoder — NOT the
+reference's Hash grid (which is gather/scatter-bound on TPU, ~2 orders of
+magnitude off; measured in docs/TPU_NOTES.md). The headline number is
+therefore the replacement-encoder config; pass --grid Hash for the
+parity-encoder cost. The emitted JSON carries a "config" field saying
+exactly what ran.
 """
 import argparse
 import json
@@ -227,6 +232,13 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 4),
+        "config": {
+            "grid": args.grid, "s_flat": args.s_flat,
+            "s_max_train": args.s_max_train, "scale": args.scale,
+            "batch_size": args.batch_size, "bf16": args.bf16,
+            "lr_fused": bool(args.lr_fused),
+            "ms_per_step_median": round(med, 2),
+        },
     }))
 
 

@@ -1,4 +1,6 @@
 #!/bin/bash
+# TPU NOTE: MixedFeature is gather/scatter-bound on TPU (~142x the LowRank
+# step time, docs/TPU_NOTES.md). Use --grid LowRank for the TPU fast path.
 # LLFF forward-facing scenes with the MixedFeature recipe (reference
 # benchmark_llff_nerf_mf.sh: colmap loader, scale 16).
 ROOT_DIR=${ROOT_DIR:-/data/nerf_llff_data}

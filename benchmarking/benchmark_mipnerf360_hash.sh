@@ -1,4 +1,7 @@
 #!/bin/bash
+# TPU NOTE: the Hash grid is gather/scatter-bound on TPU (~2 orders of
+# magnitude off the LowRank step time, docs/TPU_NOTES.md); a 20-epoch run
+# takes hours-days. Use --grid LowRank for the TPU fast path.
 # mip-NeRF-360 unbounded scenes, plain Hash grid T20 (reference
 # benchmarking/benchmark_mipnerf360_hash.sh recipe: colmap loader,
 # downsample .25, scale 16, batch 4096).

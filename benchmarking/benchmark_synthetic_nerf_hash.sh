@@ -1,4 +1,7 @@
 #!/bin/bash
+# TPU NOTE: the Hash grid is gather/scatter-bound on TPU (~2 orders of
+# magnitude off the LowRank step time, docs/TPU_NOTES.md); a 20-epoch run
+# takes hours-days. Use --grid LowRank for the TPU fast path.
 # Hash-grid variants T=20/22 (reference benchmark_synthetic_nerf_hash.sh).
 ROOT_DIR=${ROOT_DIR:-/data/Synthetic_NeRF}
 for T in 20 22; do

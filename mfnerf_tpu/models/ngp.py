@@ -114,7 +114,7 @@ class OccupancyState:
     bitfield enabling two-level marching (strata tested at the coarse level,
     fine lookups only inside surviving strata) — random gathers are the
     scarce resource on TPU (~8 ns each, see docs/TPU_NOTES.md).
-    ``coarse_nbr``/``fine_nbr`` are 4^3-neighborhood row tables (64 cells per
+    ``coarse_nbr``/``fine_nbr`` are 8^3-neighborhood row tables (512 cells per
     gathered row, see ops/morton.neighborhood_table) that the two-level march
     reads instead of per-rung bit gathers — they cut marching gathers a
     further ~6x. All three are derived from ``density_bitfield`` (see
@@ -126,8 +126,8 @@ class OccupancyState:
     density_bitfield: jnp.ndarray  # (C*G^3//8,) uint8
     count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
     coarse_bitfield: jnp.ndarray  # (C*(G/2)^3//8,) uint8, dilated
-    coarse_nbr: jnp.ndarray      # ((G/2)^3, 2) uint32 dilated-coarse rows
-    fine_nbr: jnp.ndarray        # (G^3, 2) uint32 exact fine rows
+    coarse_nbr: jnp.ndarray      # ((G/2)^3, 16) uint32 dilated-coarse rows
+    fine_nbr: jnp.ndarray        # (G^3, 16) uint32 exact fine rows
     union_bits: jnp.ndarray      # (G^3//8,) uint8 dilated world-space union
     #                              of all cascades (multi-cascade marching)
 
@@ -151,7 +151,7 @@ class OccupancyState:
     def _nbr_tables(density_bitfield, cfg: "NGPConfig"):
         from ..ops.morton import occupancy_nbr_tables
         if cfg.cascades != 1:
-            z = jnp.zeros((1, 2), jnp.uint32)
+            z = jnp.zeros((1, 16), jnp.uint32)
             return z, z
         return occupancy_nbr_tables(density_bitfield, cfg.grid_size)
 
@@ -177,8 +177,8 @@ class OccupancyState:
             density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
             count_grid=jnp.zeros((c, n), jnp.float32),
             coarse_bitfield=jnp.zeros((c * n // 64,), jnp.uint8),
-            coarse_nbr=jnp.zeros((n // 8 if one else 1, 2), jnp.uint32),
-            fine_nbr=jnp.zeros((n if one else 1, 2), jnp.uint32),
+            coarse_nbr=jnp.zeros((n // 8 if one else 1, 16), jnp.uint32),
+            fine_nbr=jnp.zeros((n if one else 1, 16), jnp.uint32),
             union_bits=jnp.zeros((n // 8 if multi else 1,), jnp.uint8),
         )
 

@@ -242,8 +242,12 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
 
 
 @partial(jax.jit, static_argnums=(0, 5))
-def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg):
-    """One test chunk: march everything, eval, composite (no grad)."""
+def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg,
+                       exposure=None):
+    """One test chunk: march everything, eval, composite (no grad).
+
+    ``exposure``: optional (1, 1) per-image exposure, broadcast to every
+    sample (HDR-NeRF test rendering; reference train.py:102-103)."""
     cfg = model.cfg
     hits_t = ray_aabb_intersect_single(
         rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
@@ -259,7 +263,7 @@ def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg):
     # sigma pass on every padded sample; rgb only where it can contribute
     xyz_flat = mr.xyzs.reshape(n * s, 3)
     dir_flat = jnp.broadcast_to(mr.dirs[:, None, :], (n, s, 3)).reshape(-1, 3)
-    sigmas, rgbs = model(params, xyz_flat, dir_flat)
+    sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exposure)
     sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
     rgbs = rgbs.reshape(n, s, 3)
     comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
@@ -353,7 +357,7 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
 @partial(jax.jit, static_argnums=(0, 5, 8))
 def _render_test_alive(model, params, occ, rays_o, rays_d,
                        rcfg: RenderConfig, t_near=None, t_far=None,
-                       collect_stats=False):
+                       collect_stats=False, exposure=None):
     """Multi-round alive-ray renderer — the whole schedule is ONE dispatch.
 
     The XLA re-design of the reference's test loop (rendering.py:46-118 +
@@ -483,7 +487,7 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             ts_f = jnp.where(valid_f, ts_f, 0.0)
             d_f = row_f[:, D]
             xyz_f = row_f[:, O] + ts_f[:, None] * d_f
-            sigmas, rgbs = model(params, xyz_f, d_f)
+            sigmas, rgbs = model(params, xyz_f, d_f, exposure=exposure)
 
             op_s, dep_s, rgb_s, alive_s = composite_test_step_flat(
                 sigmas, rgbs, dt_f, ts_f, valid_f, ray_id, offs,
@@ -495,7 +499,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
             dir_flat = jnp.broadcast_to(rd[:, None, :],
                                         (c, s_cap, 3)).reshape(-1, 3)
-            sigmas, rgbs = model(params, xyz_flat, dir_flat)
+            sigmas, rgbs = model(params, xyz_flat, dir_flat,
+                                 exposure=exposure)
             sigmas = jnp.where(mr.mask.reshape(-1), sigmas,
                                0.0).reshape(c, s_cap)
             rgbs = rgbs.reshape(c, s_cap, 3)
@@ -619,7 +624,7 @@ def _guided_ranges(depth_lo, opacity_lo, t_near, t_far, img_wh, stride,
 
 @partial(jax.jit, static_argnums=(0, 3, 8, 9))
 def _render_frame(model, params, occ, rcfg: RenderConfig, rays_o, rays_d,
-                  k_cam, pose, img_wh, guided):
+                  k_cam, pose, img_wh, guided, exposure=None):
     """ONE-dispatch frame: rasterized prepass (+ optional guided low-res
     depth pass) + the multi-round alive renderer, fused into a single jit
     so a frame costs one tunnel round trip and XLA can overlap the
@@ -635,19 +640,20 @@ def _render_frame(model, params, occ, rcfg: RenderConfig, rays_o, rays_d,
         idx = (yy[:, None] * w + xx[None, :]).reshape(-1)
         _, op_lo, de_lo, vr_lo = _render_test_alive(
             model, params, occ, rays_o[idx], rays_d[idx], rcfg,
-            t_near[idx], t_far[idx])
+            t_near[idx], t_far[idx], exposure=exposure)
         margin = rcfg.guided_margin_cells * 2.0 * model.cfg.scale \
             / model.cfg.grid_size
         t_near, t_far = _guided_ranges(de_lo, op_lo, t_near, t_far,
                                        (w, h), s, margin)
         rcfg = dataclasses.replace(rcfg, rounds=rcfg.rounds_guided)
     rgb, opacity, depth, vr = _render_test_alive(
-        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far)
+        model, params, occ, rays_o, rays_d, rcfg, t_near, t_far,
+        exposure=exposure)
     return rgb, opacity, depth, vr + vr_lo
 
 
 def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
-                camera=None, guided=False):
+                camera=None, guided=False, exposure=None):
     """Full-image test rendering via the multi-round alive-ray renderer.
 
     Parity target: __render_rays_test (rendering.py:46-118). Background
@@ -663,7 +669,14 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
     gates; silhouettes and background keep the conservative block ranges.
     With ``camera`` the whole frame (prepass + guided pass + all rounds)
     is ONE jitted dispatch (_render_frame).
+
+    ``exposure``: optional per-image exposure scalar for HDR-NeRF models
+    (rgb_act == 'None'), forwarded to every field evaluation — the
+    inference half of the reference's exposure path (train.py:102-103,
+    show_gui.py:86). Ignored by Sigmoid-head models.
     """
+    if exposure is not None:
+        exposure = jnp.asarray(exposure, jnp.float32).reshape(1, 1)
     if (camera is not None and rcfg.exp_step_factor == 0
             and model.cfg.cascades == 1):
         k_cam, pose, img_wh = camera
@@ -671,10 +684,12 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
             model, params, occ, rcfg, rays_o, rays_d,
             jnp.asarray(k_cam, jnp.float32),
             jnp.asarray(pose, jnp.float32)[:3, :4],
-            (int(img_wh[0]), int(img_wh[1])), bool(guided))
+            (int(img_wh[0]), int(img_wh[1])), bool(guided),
+            exposure=exposure)
     else:
         rgb, opacity, depth, vr_total = _render_test_alive(
-            model, params, occ, rays_o, rays_d, rcfg, None, None)
+            model, params, occ, rays_o, rays_d, rcfg, None, None,
+            exposure=exposure)
     if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
         rgb_bg = jnp.ones(3)
     else:
@@ -687,12 +702,14 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
 
 
 def render_test_dense(model, params, occ, rays_o, rays_d,
-                      rcfg: RenderConfig):
+                      rcfg: RenderConfig, exposure=None):
     """Single-pass dense test rendering, chunked to bound memory.
 
     Kept as the oracle for the alive-ray renderer (same ladder, same
     T-threshold semantics, no round/capacity effects) and as a fallback.
     """
+    if exposure is not None:
+        exposure = jnp.asarray(exposure, jnp.float32).reshape(1, 1)
     n_rays = rays_o.shape[0]
     chunk = rcfg.test_chunk
     outs = []
@@ -705,7 +722,7 @@ def render_test_dense(model, params, occ, rays_o, rays_d,
             ro = jnp.pad(ro, ((0, pad), (0, 0)))
             rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
         rgb, opacity, depth, vr = _render_test_chunk(
-            model, params, occ, ro, rd, rcfg)
+            model, params, occ, ro, rd, rcfg, exposure=exposure)
         if pad:
             rgb, opacity, depth = rgb[:-pad], opacity[:-pad], depth[:-pad]
         outs.append((rgb, opacity, depth))

@@ -145,34 +145,47 @@ def _unpack_bits_morton(bitfield: jnp.ndarray, n_cells: int) -> jnp.ndarray:
     return bits.reshape(-1)[:n_cells].astype(jnp.bool_)
 
 
+NBR_SPAN = 8  # neighborhood-row window width in cells (span <= NBR_SPAN-1)
+
+
 def neighborhood_table(occ_spatial: jnp.ndarray) -> jnp.ndarray:
-    """Pack each cell's 4x4x4 forward neighborhood into one 64-bit row.
+    """Pack each cell's 8x8x8 forward neighborhood into one 512-bit row.
 
     The gather-wide marching primitive: XLA random-gather cost is per ROW,
-    not per byte (~8 ns either way, docs/TPU_NOTES.md), so fetching 64 cells
-    per gather cuts the march's occupancy-test gathers ~8x. Row
-    r = (z*g + y)*g + x holds the occupancy of cells (x+lx, y+ly, z+lz),
-    l in [0,4)^3, at bit lx + 4*ly + 16*lz (lo word: lz in {0,1}; hi word:
-    lz in {2,3}). Built separably (12 dense shifted-OR passes); the
-    wrap-around roll writes garbage bits only at row/offset pairs that point
-    outside the grid, which lookups never read (the anchor is the min of
-    in-bounds cells).
+    not per byte (measured 16M x 32B rows slightly CHEAPER than 16M x 8B,
+    docs/TPU_NOTES.md), so fetching 512 cells per gather cuts the march's
+    occupancy-test gathers vs per-cell tests by the full window factor.
+    Round 2 used 4^3 (64-bit) rows; 8^3 doubles the rung span a single
+    gather covers, halving both stage-A superstratum gathers and stage-B
+    per-stratum gathers (ray_march.superstrata_len / twolevel_stratum).
+
+    Row r = (z*g + y)*g + x holds the occupancy of cells
+    (x+lx, y+ly, z+lz), l in [0,8)^3, in word lz*2 + (ly>=4) at bit
+    lx + 8*(ly%4). Built separably (shifted-OR passes + z rolls); the
+    wrap-around roll writes garbage bits only at row/offset pairs that
+    point outside the grid, which lookups never read (the anchor is the
+    min of in-bounds cells).
 
     Args:
         occ_spatial: (g, g, g) bool occupancy, axes [z, y, x] raster order.
     Returns:
-        (g^3, 2) uint32, row-indexed by (z*g + y)*g + x.
+        (g^3, 16) uint32, row-indexed by (z*g + y)*g + x.
     """
     occ = occ_spatial.astype(jnp.uint32)
     px = occ
-    for ox in range(1, 4):
-        px = px | (jnp.roll(occ, -ox, axis=2) << ox)
-    pxy = px
+    for ox in range(1, 8):
+        px = px | (jnp.roll(occ, -ox, axis=2) << ox)         # 8 bits of lx
+    lo = px
     for oy in range(1, 4):
-        pxy = pxy | (jnp.roll(px, -oy, axis=1) << (4 * oy))
-    lo = pxy | (jnp.roll(pxy, -1, axis=0) << 16)
-    hi = jnp.roll(pxy, -2, axis=0) | (jnp.roll(pxy, -3, axis=0) << 16)
-    return jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)
+        lo = lo | (jnp.roll(px, -oy, axis=1) << (8 * oy))    # ly in 0..3
+    hi = jnp.roll(px, -4, axis=1)
+    for oy in range(5, 8):
+        hi = hi | (jnp.roll(px, -oy, axis=1) << (8 * (oy - 4)))  # ly 4..7
+    words = []
+    for lz in range(8):
+        words.append(jnp.roll(lo, -lz, axis=0).reshape(-1))
+        words.append(jnp.roll(hi, -lz, axis=0).reshape(-1))
+    return jnp.stack(words, axis=-1)
 
 
 def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
@@ -180,23 +193,27 @@ def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
     """Occupancy of ``cells`` read from their shared neighborhood row.
 
     Args:
-        table: (g^3, 2) uint32 from :func:`neighborhood_table`.
+        table: (g^3, 16) uint32 from :func:`neighborhood_table`.
         anchor: (..., 3) int32 xyz cell coords; every query cell must lie in
-            anchor + [0, 4)^3 (callers guarantee this statically by bounding
-            the marching span; see ray_march.superstrata_len).
+            anchor + [0, NBR_SPAN)^3 (callers guarantee this statically by
+            bounding the marching span; see ray_march.superstrata_len).
         cells: (..., K, 3) int32 xyz cell coords.
         g: grid resolution.
     Returns:
         (..., K) bool — one row gather per anchor for K cell tests.
     """
     idx = (anchor[..., 2] * g + anchor[..., 1]) * g + anchor[..., 0]
-    rows = table[idx]                                        # (..., 2)
+    rows = table[idx]                                        # (..., 16)
     local = cells - anchor[..., None, :]
-    bit = (local[..., 0] + 4 * local[..., 1]
-           + 16 * local[..., 2]).astype(jnp.uint32)          # (..., K)
-    word = jnp.where(bit < 32, rows[..., 0][..., None],
-                     rows[..., 1][..., None])
-    return ((word >> (bit & jnp.uint32(31))) & 1).astype(jnp.bool_)
+    word_i = (local[..., 2] * 2 + (local[..., 1] >> 2))      # (..., K)
+    bit = (local[..., 0] + 8 * (local[..., 1] & 3)).astype(jnp.uint32)
+    # word selection as a 16-way select-sum (VPU stream; a take_along_axis
+    # here would be K more random gathers — the cost this table avoids)
+    word = jnp.sum(
+        jnp.where(word_i[..., None] == jnp.arange(16, dtype=word_i.dtype),
+                  rows[..., None, :], jnp.uint32(0)),
+        axis=-1)                                             # (..., K)
+    return ((word >> bit) & 1).astype(jnp.bool_)
 
 
 def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int):

@@ -175,11 +175,13 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
 
 
 def superstrata_len(stratum, dt_min, cell) -> int:
-    """Static count of consecutive stratum centers whose cells fit one 4^3
+    """Static count of consecutive stratum centers whose cells fit one 8^3
     neighborhood row: the span of s centers, (s-1)*stratum*dt_min, must stay
-    within 3 cells so every center's cell lies in min_cell + [0, 4)^3."""
+    within NBR_SPAN-1 cells so every center's cell lies in
+    min_cell + [0, NBR_SPAN)^3 (ops/morton.neighborhood_table)."""
+    from .morton import NBR_SPAN
     s = 1
-    while s < 8 and s * stratum * dt_min <= 3.0 * cell:
+    while s < 16 and s * stratum * dt_min <= (NBR_SPAN - 1.0) * cell:
         s += 1
     return s
 
@@ -534,18 +536,23 @@ def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,
     Conservativeness: the dilated coarse grid (cell size 4*scale/G, +-1-cell
     dilation) must cover every rung within half a stratum of the stratum
     center, so (stratum/2)*dt_min <= 4*scale/G. The stage-B row gather
-    additionally needs a stratum's rung cells to fit one 4^3 fine
-    neighborhood: (stratum-1)*dt_min <= 3 fine cells. Only the
-    single-cascade uniform-dt regime (synthetic scenes: exp_step_factor ==
-    0) is supported; real scenes keep the exact one-level march.
+    additionally needs a stratum's rung cells to fit one 8^3 fine
+    neighborhood: (stratum-1)*dt_min <= NBR_SPAN-1 fine cells
+    (ops/morton.neighborhood_table; the 4^3 rows of round 2 capped stratum
+    at 8 — the 8^3 rows roughly double it, halving gathers per rung). Only
+    the single-cascade uniform-dt regime (synthetic scenes:
+    exp_step_factor == 0) is supported; real scenes keep the exact
+    one-level march.
     """
     if exp_step_factor != 0.0 or cascades != 1:
         return 0
+    from .morton import NBR_SPAN
     dt_min = SQRT3 / max_samples
     cell = 4.0 * scale / grid_size
     cell_fine = 2.0 * min(0.5, scale) / grid_size
     stratum = int(2.0 * cell / dt_min)
-    stratum = min(stratum, int(3.0 * cell_fine / dt_min) + 1, 8)
+    stratum = min(stratum, int((NBR_SPAN - 1.0) * cell_fine / dt_min) + 1,
+                  32)
     return stratum if stratum >= 2 else 0
 
 
@@ -663,6 +670,98 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
     return WindowMarchResults(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask,
                               n_samples=n_samples, cursor=cursor_new,
                               exhausted=exhausted, k_idx=k_sel)
+
+
+def march_seek_twolevel(rays_o, rays_d, t_start, t2, cursor, coarse_nbr,
+                        scale, exp_step_factor, grid_size, max_samples,
+                        n_window, stratum):
+    """FIELD-FREE empty-space seek (single cascade, uniform dt): advance each
+    ray's cursor to the first COARSE-occupied stratum in the window, testing
+    only the dilated coarse grid — no fine tests, no field evaluation.
+
+    The reference's test loop spends its early rounds marching rays through
+    empty space with tiny sample caps (rendering.py:75-87); in the XLA
+    renderer those rounds paid a padded field eval at ~2% fill — measured
+    207 of 321 ms/frame (docs/TPU_NOTES.md round-2 anatomy). The field has
+    nothing to say about empty space: this op moves the cursor at pure
+    stage-A cost (one 4^3-neighborhood row gather per superstratum).
+
+    Conservative: the dilated coarse test is a strict superset of fine
+    occupancy (ops/morton.occupancy_nbr_tables), so the cursor never skips
+    a rung the full march would have sampled. A ray already at an occupied
+    stratum keeps its cursor (idempotent at content).
+
+    Returns (cursor_new, at_content, exhausted):
+        cursor_new: int32 first rung of the first coarse-occupied stratum,
+            or cursor + n_window when the window is all-empty.
+        at_content: bool — an occupied stratum was found in the window.
+        exhausted: bool — the new cursor's t is at/past the ray's exit.
+    """
+    c = rays_o.shape[0]
+    g_c = grid_size // 2
+    dt_min = SQRT3 / max_samples
+    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    n_super = -(-(-(-n_window // stratum)) // s_a)
+    n_strata = n_super * s_a
+
+    jj = jnp.arange(n_strata, dtype=jnp.float32)
+    centers = cursor[:, None] + jj[None, :] * stratum + (stratum - 1) / 2.0
+    t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
+                   grid_size, scale)
+    xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
+                    g_c - 1.0).astype(jnp.int32)
+    nxyz_g = nxyz.reshape(c, n_super, s_a, 3)
+    occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
+                                g_c).reshape(c, n_strata)
+    t_first = t_ladder(t_start, cursor[:, None] + jj[None, :] * stratum,
+                       exp_step_factor, max_samples, grid_size, scale)
+    occ_c = occ_c & (t_first < t2[:, None]) \
+        & (jj[None, :] * stratum < n_window)
+
+    # first occupied stratum = number of leading all-empty strata
+    j0 = jnp.sum(jnp.cumsum(occ_c.astype(jnp.int32), axis=1) == 0, axis=1)
+    at_content = j0 < n_strata
+    cursor_new = (cursor
+                  + jnp.minimum(j0 * stratum, n_window)).astype(jnp.int32)
+    t_next = t_ladder(t_start, cursor_new[:, None], exp_step_factor,
+                      max_samples, grid_size, scale)[:, 0]
+    exhausted = t_next >= t2
+    return cursor_new, at_content, exhausted
+
+
+def march_seek_cascades(rays_o, rays_d, t_start, t2, cursor, union_bits,
+                        scale, exp_step_factor, grid_size, max_samples,
+                        n_window, stratum, dt_scale=None):
+    """FIELD-FREE seek, multi-cascade (exp-dt) variant: one dilated-union
+    bitfield lookup per stratum midpoint (see march_rays_window_cascades
+    stage A). Same cursor/return semantics as :func:`march_seek_twolevel`."""
+    if dt_scale is None:
+        dt_scale = scale
+    c = rays_o.shape[0]
+    n_strata = -(-n_window // stratum)
+    jj = jnp.arange(n_strata, dtype=jnp.float32)
+    j_first = cursor[:, None] + jj[None, :] * stratum
+    t_lo = t_ladder(t_start, j_first, exp_step_factor, max_samples,
+                    grid_size, dt_scale)
+    t_hi = t_ladder(t_start, j_first + stratum, exp_step_factor,
+                    max_samples, grid_size, dt_scale)
+    t_mid = 0.5 * (t_lo + t_hi)
+    xyz_c = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * grid_size, 0.0,
+                    grid_size - 1.0).astype(jnp.int32)
+    occ_c = bitfield_lookup(union_bits, morton3d(nxyz).astype(jnp.int32))
+    occ_c = occ_c & (t_lo < t2[:, None]) \
+        & (jj[None, :] * stratum < n_window)
+
+    j0 = jnp.sum(jnp.cumsum(occ_c.astype(jnp.int32), axis=1) == 0, axis=1)
+    at_content = j0 < n_strata
+    cursor_new = (cursor
+                  + jnp.minimum(j0 * stratum, n_window)).astype(jnp.int32)
+    t_next = t_ladder(t_start, cursor_new[:, None], exp_step_factor,
+                      max_samples, grid_size, dt_scale)[:, 0]
+    exhausted = t_next >= t2
+    return cursor_new, at_content, exhausted
 
 
 def march_rays_window(rays_o, rays_d, t_start, t2, cursor, density_bitfield,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import glob
 import os
+import sys
 import time
 from functools import partial
 
@@ -81,6 +82,23 @@ class NeRFSystem:
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
             else "float32")
         self.model = NGP(self.model_cfg)
+        if hparams.grid in ("Hash", "Window", "MixedFeature"):
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "unknown"
+            if backend not in ("cpu",):
+                # measured on TPU v5e (docs/TPU_NOTES.md): the hash-table
+                # backward is ~34-50M random scatter-adds per step; a
+                # reference MF config ran 2587.6 ms/step vs 18.2 for LowRank
+                # (~142x) — a 30k-step quickstart would take ~21 HOURS.
+                print(
+                    f"WARNING: --grid {hparams.grid} is gather/scatter-bound "
+                    f"on TPU (measured ~142x slower per step than the "
+                    f"TPU-native LowRank encoder; a 30k-step run takes hours,"
+                    f" not minutes — docs/TPU_NOTES.md). Pass --grid LowRank "
+                    f"for the TPU fast path with comparable quality.",
+                    file=sys.stderr)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
             random_bg=hparams.random_bg,
@@ -433,7 +451,10 @@ class NeRFSystem:
             results = render_test(
                 self.model, self.params, self.occ, rays_o, rays_d, self.rcfg,
                 camera=(self.test_dataset.K, batch["pose"],
-                        self.test_dataset.img_wh))
+                        self.test_dataset.img_wh),
+                # HDR-NeRF: test renders use the image's exposure
+                # (reference train.py:102-103)
+                exposure=batch.get("exposure"))
             rgb_pred = np.asarray(results["rgb"]).reshape(h, w, 3)
             logs = {}
             if "rgb" in batch:

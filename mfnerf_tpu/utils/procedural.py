@@ -170,3 +170,85 @@ def write_nsvf_scene(root, scene=None, **kwargs):
     dump("0_", scene["poses"], scene["images"])
     dump("2_", scene["test_poses"], scene["test_images"])
     return scene
+
+
+def write_nerfpp_scene(root, scene=None, **kwargs):
+    """Materialize a procedural scene on disk in NeRF++ layout (for loader
+    integration tests): {train,test}/{intrinsics,rgb,pose}/*.txt|png plus a
+    camera_path/ test trajectory (reference datasets/nerfpp.py layout)."""
+    import imageio.v2 as imageio
+
+    scene = scene or make_scene(**kwargs)
+    w, h = scene["img_wh"]
+
+    def dump(split, poses, images):
+        for sub in ("intrinsics", "rgb", "pose"):
+            os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+        k44 = np.eye(4)
+        k44[:3, :3] = scene["K"]
+        for i, pose in enumerate(poses):
+            np.savetxt(os.path.join(root, split, "intrinsics",
+                                    f"{i:05d}.txt"), k44.reshape(-1))
+            mat = np.eye(4)
+            mat[:3] = pose
+            np.savetxt(os.path.join(root, split, "pose", f"{i:05d}.txt"),
+                       mat.reshape(-1))
+            if images is not None:
+                imageio.imsave(
+                    os.path.join(root, split, "rgb", f"{i:05d}.png"),
+                    (images[i].reshape(h, w, 3) * 255).astype(np.uint8))
+
+    dump("train", scene["poses"], scene["images"])
+    dump("test", scene["test_poses"], scene["test_images"])
+    # camera_path/: poses only (test_traj split)
+    os.makedirs(os.path.join(root, "camera_path", "pose"), exist_ok=True)
+    for i, pose in enumerate(scene["test_poses"]):
+        mat = np.eye(4)
+        mat[:3] = pose
+        np.savetxt(os.path.join(root, "camera_path", "pose",
+                                f"{i:05d}.txt"), mat.reshape(-1))
+    return scene
+
+
+def write_rtmv_scene(root, scene=None, n_frames=110, **kwargs):
+    """Materialize a procedural scene in RTMV layout: images/XXXXX.png +
+    per-frame XXXXX.json with camera_data (intrinsics + cam2world stored
+    TRANSPOSED in [right up back] axes — reference datasets/rtmv.py:23-42).
+
+    RTMV splits are fixed index ranges (train 0-100, test 105-150), so
+    ``n_frames`` > 105 frames are emitted; rendered images cycle through the
+    scene's training renders (pose/image consistency is preserved by cycling
+    poses identically).
+    """
+    import json as _json
+
+    import imageio.v2 as imageio
+
+    scene = scene or make_scene(**kwargs)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    w, h = scene["img_wh"]
+    k = scene["K"]
+    n_cycle = len(scene["poses"])
+    for i in range(n_frames):
+        pose = scene["poses"][i % n_cycle]
+        img = scene["images"][i % n_cycle]
+        # invert datasets/rtmv.py: c2w_rdf -> rub columns -> 4x4 -> transpose
+        rub = np.asarray(pose, np.float64).copy()
+        rub[:, 1] *= -1.0
+        rub[:, 2] *= -1.0
+        mat = np.eye(4)
+        mat[:3] = rub
+        meta = {"camera_data": {
+            "width": w, "height": h,
+            "intrinsics": {"fx": float(k[0, 0]), "fy": float(k[1, 1]),
+                           "cx": float(k[0, 2]), "cy": float(k[1, 2])},
+            "scene_center_3d_box": [0.0, 0.0, 0.0],
+            "scene_min_3d_box": [-0.5, -0.5, -0.5],
+            "scene_max_3d_box": [0.5, 0.5, 0.5],
+            "cam2world": mat.T.tolist(),
+        }}
+        with open(os.path.join(root, f"{i:05d}.json"), "w") as f:
+            _json.dump(meta, f)
+        imageio.imsave(os.path.join(root, "images", f"{i:05d}.png"),
+                       (img.reshape(h, w, 3) * 255).astype(np.uint8))
+    return scene

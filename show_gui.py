@@ -93,6 +93,9 @@ class NGPGUI:
         self.dt = 0.0
         self.mean_samples = 0.0
         self.img_mode = 0
+        # live exposure for HDR-NeRF checkpoints (rgb_act == 'None'); the
+        # dpg slider writes it each frame (reference show_gui.py:86)
+        self.exposure = 0.2 if hparams.use_exposure else None
 
     def render_cam(self, cam):
         import jax.numpy as jnp
@@ -103,7 +106,7 @@ class NGPGUI:
         results = render_test(self.model, self.params, self.occ,
                               rays_o, rays_d, self.rcfg,
                               camera=(cam.K, cam.pose[:3], (cam.W, cam.H)),
-                              guided=self.guided)
+                              guided=self.guided, exposure=self.exposure)
         rgb = np.asarray(results["rgb"]).reshape(self.H, self.W, 3)
         depth = np.asarray(results["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t
@@ -174,6 +177,8 @@ class NGPGUI:
         dpg.show_viewport()
         dpg.set_primary_window("_primary", True)
         while dpg.is_dearpygui_running():
+            if self.exposure is not None:  # live HDR exposure slider
+                self.exposure = float(dpg.get_value("_exposure"))
             self.render_buffer[:] = self.render_cam(self.cam)
             dpg.set_value("_texture", self.render_buffer)
             dpg.set_value("_log_time",

@@ -27,20 +27,56 @@ def test_ssim_bounds_and_identity():
     assert float(ssim(img, shifted)) > s
 
 
-def test_ssim_matches_torchmetrics():
-    """Oracle check against torchmetrics (the reference's SSIM), if present."""
-    pytest.importorskip("torchmetrics")
-    import torch
-    from torchmetrics import StructuralSimilarityIndexMeasure
+def _ssim_numpy_oracle(a, b, data_range=1.0, size=11, sigma=1.5):
+    """Independent float64 SSIM (Wang et al. 2004; torchmetrics defaults:
+    11x11 Gaussian window sigma=1.5, k1=0.01, k2=0.03, valid padding) built
+    on scipy.signal.convolve2d — shares no code with the jnp implementation
+    under test."""
+    from scipy.signal import convolve2d
 
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    w = np.outer(g, g)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+
+    def f(img):
+        return np.stack([convolve2d(img[..., c], w, mode="valid")
+                         for c in range(img.shape[-1])], axis=-1)
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mu_a, mu_b = f(a), f(b)
+    va = f(a * a) - mu_a ** 2
+    vb = f(b * b) - mu_b ** 2
+    cov = f(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)
+    return float(np.mean(num / den))
+
+
+def test_ssim_matches_independent_oracle():
+    """Oracle check vs a from-scratch float64 scipy SSIM (runs everywhere —
+    the earlier torchmetrics oracle silently skipped in environments
+    without torchmetrics, VERDICT round 2 #7)."""
     rng = np.random.default_rng(1)
     a = rng.random((48, 48, 3)).astype(np.float32)
     b = np.clip(a + 0.15 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
     ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
-    tm = StructuralSimilarityIndexMeasure(data_range=1.0)
-    theirs = float(tm(torch.tensor(a).permute(2, 0, 1)[None],
-                      torch.tensor(b).permute(2, 0, 1)[None]))
-    assert abs(ours - theirs) < 0.02, (ours, theirs)
+    ref = _ssim_numpy_oracle(a, b)
+    assert abs(ours - ref) < 1e-3, (ours, ref)
+    # structured (non-random) pair, including flat regions that exercise the
+    # variance clamp: still bounded and matching
+    yy, xx = np.mgrid[0:48, 0:48] / 48.0
+    s1 = np.stack([yy, xx, 0.5 * np.ones_like(xx)], -1).astype(np.float32)
+    s2 = np.clip(s1 + 0.1 * np.sin(12 * yy)[..., None], 0, 1
+                 ).astype(np.float32)
+    ours2 = float(ssim(jnp.asarray(s1), jnp.asarray(s2)))
+    ref2 = _ssim_numpy_oracle(s1, s2)
+    assert abs(ours2 - ref2) < 1e-3, (ours2, ref2)
+    assert ours2 <= 1.0 + 1e-6
+
+
 
 
 def test_nsvf_loader_roundtrip(tmp_path):

@@ -1,0 +1,288 @@
+"""Behavioral tests for previously-uncovered CLI flag paths (VERDICT r2 #5):
+--use_exposure (inference half incl. render_test), --optimize_ext,
+--random_bg, and the NeRF++ / RTMV loader round-trips."""
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mfnerf_tpu.datasets.memory import MemoryDataset
+from mfnerf_tpu.train import NeRFSystem
+from mfnerf_tpu.utils.metrics import psnr
+from mfnerf_tpu.utils.procedural import make_scene
+
+
+def _hparams(**kw):
+    d = dict(root_dir="<memory>", dataset_name="nsvf", split="train",
+             downsample=1.0, scale=0.5, use_exposure=False,
+             distortion_loss_w=0.0, batch_size=1024,
+             ray_sampling_strategy="all_images", num_epochs=1, num_gpus=1,
+             lr=1e-2, optimize_ext=False, random_bg=False, eval_lpips=False,
+             val_only=False, no_save_test=True, exp_name="flagtest",
+             ckpt_path=None, weight_path=None, grid="LowRank", L=8, F=2,
+             T=15, N_min=16, N_max=128, N_tables=1, rgb_channels=32,
+             rgb_layers=2, seed=1337, s_max_train=64, s_max_test=64,
+             test_chunk=4096, lpips_weights=None, profile=False,
+             steps_per_epoch=400, grid_size=64, max_samples=256,
+             lr_levels=4, lr_rank=8, lr_frames=2, lr_k_max=128)
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+# --------------------------------------------------------------- exposure
+@pytest.fixture(scope="module")
+def exposure_system():
+    """Train on an exposure-augmented procedural scene: image i is observed
+    at exposure e_i with rgb_obs = clip(e_i * linear_rgb, 0, 1), the 4th ray
+    channel carrying e_i (HDR-NeRF data convention, datasets/base.py)."""
+    scene = make_scene(n_train=12, n_test=2, wh=64, seed=0)
+    exposures = np.float32([0.5, 1.0, 2.0])
+
+    def augment(images, offset=0):
+        out = []
+        for i, img in enumerate(images):
+            e = exposures[(i + offset) % 3]
+            out.append(np.concatenate(
+                [np.clip(img * e, 0, 1),
+                 np.full((img.shape[0], 1), e, np.float32)], axis=1))
+        return np.stack(out)
+
+    train = MemoryDataset(scene["poses"], augment(scene["images"]),
+                          scene["K"], scene["directions"], scene["img_wh"],
+                          "train")
+    test = MemoryDataset(scene["test_poses"],
+                         augment(scene["test_images"], offset=1),
+                         scene["K"], scene["directions"], scene["img_wh"],
+                         "test")
+    # the unit-exposure zero-radiance target (reference train.py:73-77 /
+    # colmap.py HDR dicts); white background at unit exposure
+    train.unit_exposure_rgb = jnp.ones((1, 3))
+
+    hp = _hparams(use_exposure=True)
+    system = NeRFSystem(hp)
+    system.setup(train, test)
+    system.configure(jax.random.PRNGKey(0))
+    system.fit()
+    return system
+
+
+def test_exposure_train_batch_has_exposure(exposure_system):
+    batch = exposure_system.train_dataset[0]
+    assert "exposure" in batch and batch["exposure"].shape == (1024, 1)
+
+
+def test_exposure_flows_through_test_render(exposure_system):
+    """render_test at the image's own exposure reconstructs it better than
+    at a 4x-off exposure, and the two renders genuinely differ — the
+    inference half of the exposure path (reference train.py:102-103)."""
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.rendering import render_test
+
+    system = exposure_system
+    batch = system.test_dataset[0]
+    assert "exposure" in batch
+    e_true = float(batch["exposure"])
+    rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
+                              jnp.asarray(batch["pose"]))
+
+    def render(e):
+        return render_test(system.model, system.params, system.occ, rays_o,
+                           rays_d, system.rcfg, exposure=e)["rgb"]
+
+    rgb_true = render(e_true)
+    rgb_off = render(4.0 * e_true)
+    gt = jnp.asarray(batch["rgb"])
+    p_true = float(psnr(rgb_true, gt))
+    p_off = float(psnr(rgb_off, gt))
+    diff = float(jnp.abs(rgb_true - rgb_off).mean())
+    print(f"psnr@e_true {p_true:.2f} vs psnr@4e {p_off:.2f}, "
+          f"mean|diff| {diff:.4f}")
+    assert diff > 0.01          # exposure actually reaches the render
+    assert p_true > p_off + 1.0  # and in the photometrically right way
+    assert p_true > 18.0
+
+
+def test_exposure_dense_oracle_agrees(exposure_system):
+    """The dense single-pass renderer threads exposure identically."""
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.rendering import render_test, render_test_dense
+
+    system = exposure_system
+    batch = system.test_dataset[0]
+    e_true = float(batch["exposure"])
+    rays_o, rays_d = get_rays(jnp.asarray(system.test_dataset.directions),
+                              jnp.asarray(batch["pose"]))
+    a = render_test(system.model, system.params, system.occ, rays_o, rays_d,
+                    system.rcfg, exposure=e_true)["rgb"]
+    b = render_test_dense(system.model, system.params, system.occ, rays_o,
+                          rays_d, system.rcfg, exposure=e_true)["rgb"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_validate_passes_exposure(exposure_system, tmp_path):
+    """validate() forwards batch exposure; saved renders exist and the
+    reported PSNR reflects exposure-correct rendering."""
+    logs = exposure_system.validate(save_dir=str(tmp_path))
+    assert logs["test/psnr"] > 18.0
+    assert any(f.endswith(".png") for f in os.listdir(str(tmp_path)))
+
+
+# ------------------------------------------------------------ optimize_ext
+def test_optimize_ext_recovers_perturbed_poses():
+    """Perturb the training poses, train with --optimize_ext, and assert the
+    learned per-image dR/dT corrections move the effective poses back toward
+    the true ones (reference train.py:91-94, opt.py --optimize_ext)."""
+    from mfnerf_tpu.datasets.ray_utils import axisangle_to_R
+
+    scene = make_scene(n_train=10, n_test=1, wh=48, seed=3)
+    rng = np.random.default_rng(0)
+    true_poses = scene["poses"].copy()
+    pert = scene["poses"].copy()
+    dr_true = 0.03 * rng.normal(size=(len(pert), 3)).astype(np.float32)
+    dt_true = 0.03 * rng.normal(size=(len(pert), 3)).astype(np.float32)
+    rot_pert = np.asarray(axisangle_to_R(jnp.asarray(dr_true)))
+    for i in range(len(pert)):
+        pert[i, :, :3] = rot_pert[i] @ pert[i, :, :3]
+        pert[i, :, 3] += dt_true[i]
+
+    train = MemoryDataset(pert, scene["images"], scene["K"],
+                          scene["directions"], scene["img_wh"], "train")
+    test = MemoryDataset(scene["test_poses"], scene["test_images"],
+                         scene["K"], scene["directions"], scene["img_wh"],
+                         "test")
+    hp = _hparams(optimize_ext=True, steps_per_epoch=600, batch_size=2048,
+                  grid_size=32, max_samples=128, seed=7)
+    system = NeRFSystem(hp)
+    system.setup(train, test)
+    system.configure(jax.random.PRNGKey(0))
+    assert "dR" in system.params and "dT" in system.params
+    system.fit()
+
+    dr = np.asarray(system.params["dR"])
+    dt = np.asarray(system.params["dT"])
+    # the refinement must have moved (gradients flow through get_rays)...
+    assert np.abs(dr).max() > 1e-5 and np.abs(dt).max() > 1e-5
+    # ...and the refined poses must be closer to the TRUE poses than the
+    # perturbed ones on average (translation is the robust signal; compare
+    # camera centers)
+    # forward_train applies pose[:, 3] += dT, so the refined camera center
+    # is simply pert_center + dT
+    centers_true = true_poses[:, :, 3]
+    centers_pert = pert[:, :, 3]
+    refined = centers_pert + dt
+    err_pert = np.linalg.norm(centers_pert - centers_true, axis=1).mean()
+    err_ref = np.linalg.norm(refined - centers_true, axis=1).mean()
+    print(f"center err perturbed {err_pert:.4f} -> refined {err_ref:.4f}")
+    # pose refinement under a NeRF loss fixes RELATIVE consistency (a global
+    # gauge shift remains), so demand improvement, not exact recovery
+    assert err_ref < err_pert * 0.9
+
+
+# -------------------------------------------------------------- random_bg
+def test_random_bg_randomizes_training_background():
+    """--random_bg composites train renders onto a per-step random color
+    (reference rendering.py:153-161): different keys give different images
+    on low-opacity rays; the same key is deterministic; and the flag leaves
+    opaque-ray values untouched."""
+    from mfnerf_tpu.models.rendering import RenderConfig, render_train
+
+    scene = make_scene(n_train=2, n_test=1, wh=32, seed=0)
+    hp = _hparams(random_bg=True, scale=0.5)
+    system = NeRFSystem(hp)
+    system.setup(MemoryDataset.from_scene(scene, "train"),
+                 MemoryDataset.from_scene(scene, "test"))
+    system.configure(jax.random.PRNGKey(0))
+
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    rays_o, rays_d = get_rays(
+        jnp.asarray(scene["directions"][:256]),
+        jnp.asarray(scene["poses"][0]))
+    # random_bg only engages on real-scene configs (exp_step_factor != 0,
+    # reference rendering.py:153-161) — synthetic scenes always composite
+    # onto white. Use a real-scene rcfg.
+    rcfg = RenderConfig(exp_step_factor=1 / 256, random_bg=True,
+                        s_max_train=32, max_samples=256)
+    r1 = render_train(system.model, system.params, system.occ, rays_o,
+                      rays_d, jax.random.PRNGKey(1), rcfg)
+    r2 = render_train(system.model, system.params, system.occ, rays_o,
+                      rays_d, jax.random.PRNGKey(2), rcfg)
+    r1b = render_train(system.model, system.params, system.occ, rays_o,
+                       rays_d, jax.random.PRNGKey(1), rcfg)
+    low_op = np.asarray(r1["opacity"]) < 0.5
+    assert low_op.any()
+    d12 = np.abs(np.asarray(r1["rgb"]) - np.asarray(r2["rgb"]))[low_op]
+    assert d12.max() > 0.05       # bg varies across keys
+    # same key -> bit-identical (threaded PRNG, no hidden state)
+    np.testing.assert_array_equal(np.asarray(r1["rgb"]),
+                                  np.asarray(r1b["rgb"]))
+    # fixed-bg config with the same marching is unaffected by the key
+    rcfg_fixed = RenderConfig(exp_step_factor=1 / 256, random_bg=False,
+                              s_max_train=32, max_samples=256)
+    f1 = render_train(system.model, system.params, system.occ, rays_o,
+                      rays_d, jax.random.PRNGKey(1), rcfg_fixed)
+    f2 = render_train(system.model, system.params, system.occ, rays_o,
+                      rays_d, jax.random.PRNGKey(2), rcfg_fixed)
+    # (start-jitter noise differs across keys, so allow marching-level
+    # differences but require the background itself to be fixed: fully
+    # transparent rays must composite to black exactly)
+    empty = np.asarray(f1["opacity"]) < 1e-4
+    if empty.any():
+        np.testing.assert_allclose(np.asarray(f1["rgb"])[empty], 0.0,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(f2["rgb"])[empty], 0.0,
+                                   atol=1e-4)
+
+
+# ------------------------------------------------------------- loaders
+def test_nerfpp_loader_roundtrip(tmp_path):
+    """Write a procedural scene in NeRF++ layout and load it with the real
+    NeRFPPDataset loader (train/test/test_traj splits)."""
+    from mfnerf_tpu.datasets.nerfpp import NeRFPPDataset
+    from mfnerf_tpu.utils.procedural import write_nerfpp_scene
+
+    root = str(tmp_path / "npp")
+    scene = write_nerfpp_scene(root, n_train=4, n_test=2, wh=32, seed=5)
+
+    ds = NeRFPPDataset(root, split="train")
+    assert ds.img_wh == (32, 32)
+    assert ds.poses.shape == (4, 3, 4)
+    assert ds.rays.shape == (4, 32 * 32, 3)
+    np.testing.assert_allclose(ds.poses, scene["poses"], atol=1e-5)
+    # png round trip quantizes to 1/255
+    np.testing.assert_allclose(ds.rays, scene["images"], atol=2 / 255)
+    np.testing.assert_allclose(ds.K, scene["K"], atol=1e-4)
+
+    ds_test = NeRFPPDataset(root, split="test")
+    assert ds_test.poses.shape == (2, 3, 4)
+    np.testing.assert_allclose(ds_test.poses, scene["test_poses"], atol=1e-5)
+
+    ds_traj = NeRFPPDataset(root, split="test_traj")
+    assert ds_traj.poses.shape == (2, 3, 4)
+    assert len(ds_traj.rays) == 0  # poses only
+
+
+def test_rtmv_loader_roundtrip(tmp_path):
+    """Write a procedural scene in RTMV layout (transposed rub cam2world
+    json) and check the loader recovers the rdf poses and index splits."""
+    from mfnerf_tpu.datasets.rtmv import RTMVDataset
+    from mfnerf_tpu.utils.procedural import write_rtmv_scene
+
+    root = str(tmp_path / "rtmv_scene")
+    scene = write_rtmv_scene(root, n_frames=110, n_train=8, n_test=1, wh=24,
+                             seed=6)
+
+    ds = RTMVDataset(root, split="train")
+    assert ds.img_wh == (24, 24)
+    assert ds.poses.shape == (100, 3, 4)   # frames 0..99
+    np.testing.assert_allclose(
+        ds.poses[:8], scene["poses"], atol=1e-5)
+    np.testing.assert_allclose(ds.rays[:8], scene["images"], atol=2 / 255)
+
+    ds_test = RTMVDataset(root, split="test")
+    assert ds_test.poses.shape == (5, 3, 4)  # frames 105..109
+    # frame 105 cycles to pose 105 % 8 = 1
+    np.testing.assert_allclose(ds_test.poses[0], scene["poses"][105 % 8],
+                               atol=1e-5)

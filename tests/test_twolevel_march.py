@@ -43,7 +43,10 @@ def _setup(occ_density=0.02, seed=0, n=256):
 
 
 def test_stratum_selection():
-    assert twolevel_stratum(0.0, 1024, 0.5, 128, 1) == 8
+    # 8^3 neighborhood rows (ops/morton.NBR_SPAN): the stage-B row covers
+    # up to 33 rungs, so the coarse-conservativeness bound (2*cell/dt = 18)
+    # binds at the quickstart config (round 2's 4^3 rows capped this at 8)
+    assert twolevel_stratum(0.0, 1024, 0.5, 128, 1) == 18
     assert twolevel_stratum(0.0, 256, 0.5, 128, 1) == 4
     assert twolevel_stratum(1 / 256, 1024, 0.5, 128, 1) == 0  # real scenes
     assert twolevel_stratum(0.0, 1024, 4.0, 128, 4) == 0      # cascades
