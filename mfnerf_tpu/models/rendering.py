@@ -24,7 +24,8 @@ from ..ops.ray_march import (cascades_stratum, march_rays_train,
                              march_rays_train_cascades,
                              march_rays_train_twolevel, march_rays_window,
                              march_rays_window_cascades,
-                             march_rays_window_twolevel, twolevel_stratum)
+                             march_rays_window_twolevel, march_seek_cascades,
+                             march_seek_twolevel, twolevel_stratum)
 from ..ops.stepping import calc_dt, max_ladder_steps, t_ladder
 
 MAX_SAMPLES = 1024     # reference rendering.py:7
@@ -53,29 +54,28 @@ class RenderConfig:
     # grows. 0 disables.
     s_flat: int = 0
     # alive-ray round schedule for the fast test renderer: per round a
-    # (capacity fraction of the ray count, rung-window length, sample cap).
-    # The XLA analogue of the reference's adaptive N_samples loop
-    # (rendering.py:75-105): round capacities shrink as rays converge, and
-    # each round is a static-shape program — the whole schedule jits as one
-    # dispatch. The final rounds sweep the remaining ladder so stragglers
-    # finish exactly.
+    # (capacity fraction of the ray count, rung-window length, sample cap
+    # [, flat budget q]). The XLA analogue of the reference's adaptive
+    # N_samples loop (rendering.py:75-105): round capacities shrink as rays
+    # converge, and each round is a static-shape program — the whole
+    # schedule jits as one dispatch.
+    # sample cap == 0 marks a FIELD-FREE SEEK round (ops/ray_march.py
+    # march_seek_*): the cursor advances to the first coarse-occupied
+    # stratum at pure marching cost. Round-2 anatomy showed the first three
+    # content rounds were really seeks paying padded field evals at ~2%
+    # fill (207 of 321 ms/frame); with explicit seeks the content rounds
+    # start AT content and run at high fill.
     # Correctness never depends on these schedules — the completion sweep
     # below finishes whatever they leave — so they are PURE throughput
-    # tuning. Tuned on the 800x800 bench scene with the prepass active:
-    # round 0 is a cheap seek (cap 2, measured fill 0.02), then capacity
-    # decays SLOWLY (0.5 -> 0.02) so the alive queue actually drains in
-    # well-filled mid-size rounds instead of spilling into the (smaller-
-    # batched) sweep: 720 -> 507 ms/frame over the round-1-style
-    # fast-decay schedule, identical image (docs/TPU_NOTES.md).
-    rounds: tuple = ((1.0, 64, 2), (0.5, 96, 8), (0.375, 128, 16),
-                     (0.25, 192, 24), (0.15, 256, 32), (0.08, 384, 48),
-                     (0.04, 1024, 96), (0.02, 4096, 128))
+    # tuning (tuned on the 800x800 bench scene, docs/TPU_NOTES.md).
+    rounds: tuple = ((0.55, 128, 0), (0.4, 256, 0), (0.2, 768, 0),
+                     (0.4, 48, 16), (0.25, 64, 24), (0.1, 512, 0),
+                     (0.1, 96, 32), (0.04, 192, 48), (0.015, 2048, 128))
     # without per-frame t-ranges rays may march long empty stretches before
-    # content: wider windows, same slow capacity decay
-    rounds_full: tuple = ((1.0, 256, 2), (0.5, 256, 8), (0.375, 256, 16),
-                          (0.25, 256, 24), (0.15, 512, 32),
-                          (0.08, 512, 48), (0.04, 1024, 96),
-                          (0.02, 4096, 128))
+    # content: longer seek windows, same content cascade
+    rounds_full: tuple = ((0.55, 256, 0), (0.4, 512, 0), (0.2, 1024, 0),
+                          (0.4, 48, 16), (0.25, 64, 24), (0.1, 1024, 0),
+                          (0.1, 96, 32), (0.04, 192, 48), (0.015, 2048, 128))
     # depth-guided two-pass rendering (render_test guided=True): most rays
     # carry a tight [t_near, t_far] from the low-res depth pass, so the
     # full-res schedule opens with a short window sized to the guided span
@@ -408,14 +408,17 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     vr_total = jnp.int32(0)
     stats = []
 
-    # packed per-ray state: one row gather/scatter per round moves ALL of it
+    # packed per-ray state: one row gather/scatter per round moves ALL of it.
+    # Slot 15 (ATC) flags rays KNOWN to sit at coarse-occupied content —
+    # written by seek rounds, consumed by the round-selection scores below.
     zeros = jnp.zeros((n,), jnp.float32)
     st = jnp.concatenate([
         rays_o, rays_d, t_start[:, None], t2[:, None], cursor[:, None],
         zeros[:, None], zeros[:, None], jnp.zeros((n, 3), jnp.float32),
         alive.astype(jnp.float32)[:, None], zeros[:, None]], axis=1)
-    O, D, TS, T2, CU, OP, DE, RGB, AL = (slice(0, 3), slice(3, 6), 6, 7, 8,
-                                         9, 10, slice(11, 14), 14)
+    O, D, TS, T2, CU, OP, DE, RGB, AL, ATC = (slice(0, 3), slice(3, 6), 6, 7,
+                                              8, 9, 10, slice(11, 14), 14,
+                                              15)
 
     stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
                                cfg.scale, cfg.grid_size, cfg.cascades)
@@ -424,21 +427,58 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
 
     def run_round(st, vr_total, c, w_len, s_cap, q_flat):
-        """One alive-round at STATIC (c, w_len, s_cap, q_flat): top_k-select
-        c rays, march a window, field-eval, composite incrementally, scatter
+        """One alive-round at STATIC (c, w_len, s_cap, q_flat): select c
+        rays, march a window, field-eval, composite incrementally, scatter
         the updated packed rows back. Used both unrolled (the schedule) and
-        as the body of the completion sweep below."""
+        as the body of the completion sweep below.
+
+        s_cap == 0 is a FIELD-FREE SEEK round: only the coarse structure is
+        consulted and only the cursor/at-content flags change — no field
+        eval, no compositing. Seek rounds select rays NOT yet known to be
+        at content; content rounds prefer rays the seeks have already
+        landed on content (the ATC flag), so their padded sample blocks run
+        at high fill."""
+        seek = s_cap == 0
         if c == n:
             ids = None
             row = st
         else:
-            _, ids = jax.lax.top_k(st[:, AL], c)
+            score = (st[:, AL] * (1.0 - st[:, ATC]) if seek
+                     else st[:, AL] * (1.0 + st[:, ATC]))
+            _, ids = jax.lax.top_k(score, c)
             row = st[ids]
         ro, rd = row[:, O], row[:, D]
         ts0, t2_r = row[:, TS], row[:, T2]
         cur = row[:, CU].astype(jnp.int32)
         op_r, de_r, rgb_r = row[:, OP], row[:, DE], row[:, RGB]
         alive_r = row[:, AL] > 0.5
+
+        if seek:
+            if stratum:
+                cursor_new, atc, exhausted = march_seek_twolevel(
+                    ro, rd, ts0, t2_r, cur, occ.coarse_nbr, cfg.scale,
+                    rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                    w_len, stratum)
+            else:  # c_stratum (caller filters seeks out otherwise)
+                cursor_new, atc, exhausted = march_seek_cascades(
+                    ro, rd, ts0, t2_r, cur, occ.union_bits, cfg.scale,
+                    rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                    w_len, c_stratum, dt_scale=dt_scale)
+            alive_s = alive_r & jnp.logical_not(exhausted) \
+                & (cursor_new < k_total)
+            new_row = jnp.concatenate([
+                ro, rd, ts0[:, None], t2_r[:, None],
+                cursor_new.astype(jnp.float32)[:, None], op_r[:, None],
+                de_r[:, None], rgb_r, alive_s.astype(jnp.float32)[:, None],
+                (atc & alive_s).astype(jnp.float32)[:, None]], axis=1)
+            if ids is None:
+                st = new_row
+            else:
+                st = st.at[ids].set(new_row)
+            stat_row = jnp.stack([
+                jnp.float32(c), alive_r.sum().astype(jnp.float32),
+                jnp.float32(0), jnp.float32(0)])
+            return st, vr_total, stat_row
 
         if stratum:  # gather-frugal two-level window (synthetic scenes)
             mr = march_rays_window_twolevel(
@@ -521,11 +561,16 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
                         else c * s_cap),
         ])
 
+        # a cursor stopped short of the window end means sampling was capped
+        # at content (or an unexamined occupied stratum): flag for the next
+        # content round's selection. Advisory only — correctness is the
+        # sweep's job.
+        atc_new = alive_s & (cursor_new < cur + w_len)
         new_row = jnp.concatenate([
             ro, rd, ts0[:, None], t2_r[:, None],
             cursor_new.astype(jnp.float32)[:, None], op_s[:, None],
             dep_s[:, None], rgb_s, alive_s.astype(jnp.float32)[:, None],
-            jnp.zeros((c, 1), jnp.float32)], axis=1)
+            atc_new.astype(jnp.float32)[:, None]], axis=1)
         if ids is None:
             st = new_row
         else:
@@ -535,6 +580,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     for entry in schedule:
         frac, w_len, s_cap = entry[:3]
         q_flat = entry[3] if len(entry) > 3 else 0
+        if s_cap == 0 and not (stratum or c_stratum):
+            continue  # no coarse structure to seek through (plain fallback)
         st, vr_total, stat_row = run_round(
             st, vr_total, min(max(int(round(n * frac)), 1), n),
             min(w_len, k_total), s_cap, q_flat)

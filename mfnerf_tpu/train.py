@@ -106,7 +106,11 @@ class NeRFSystem:
             s_max_train=hparams.s_max_train,
             s_max_test=hparams.s_max_test,
             test_chunk=hparams.test_chunk,
-            s_strata=max(8, hparams.s_max_train // 4),
+            # stage-B strata budget: with 8^3 neighborhood rows the stratum
+            # is ~18 rungs (twolevel_stratum), so 8 strata cover ~144 rungs
+            # of occupied content — the same coverage 16 strata of 8 rungs
+            # gave in round 2, at half the row gathers
+            s_strata=max(4, hparams.s_max_train // 8),
             s_flat=getattr(hparams, "s_flat", 0))
         self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
         self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
