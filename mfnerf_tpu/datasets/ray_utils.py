@@ -75,10 +75,21 @@ def axisangle_to_R(v):
         jnp.concatenate([v[:, 2:3], zero, -v[:, 0:1]], 1),
         jnp.concatenate([-v[:, 1:2], v[:, 0:1], zero], 1),
     ], axis=1)
-    norm_v = jnp.linalg.norm(v, axis=1)[:, None, None] + 1e-7
+    # Gradient-safe norm: jnp.linalg.norm has a NaN gradient at v = 0, and
+    # the pose-refinement path (--optimize_ext) STARTS dR at exactly zero —
+    # one backward pass through the naive formula poisons training with
+    # NaNs. Clamping the squared norm keeps every branch (taken or not)
+    # NaN-free under autodiff; at theta -> 0 the constant branches give the
+    # correct first-order gradient (d r / d v ~ skew'(dv) via the skew
+    # term; sinc'(0) = 0).
+    sq = jnp.sum(v * v, axis=1)[:, None, None]
+    norm_v = jnp.sqrt(jnp.maximum(sq, 1e-14))
+    small = sq < 1e-14
+    sinc = jnp.where(small, 1.0, jnp.sin(norm_v) / norm_v)
+    cosc = jnp.where(small, 0.5, (1 - jnp.cos(norm_v))
+                     / jnp.maximum(sq, 1e-14))
     eye = jnp.eye(3)
-    r = eye + (jnp.sin(norm_v) / norm_v) * skew + \
-        ((1 - jnp.cos(norm_v)) / norm_v ** 2) * (skew @ skew)
+    r = eye + sinc * skew + cosc * (skew @ skew)
     return r[0] if squeeze else r
 
 

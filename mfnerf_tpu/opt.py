@@ -57,6 +57,11 @@ def get_opts(argv=None):
     # experimental training options
     parser.add_argument('--optimize_ext', action='store_true', default=False,
                         help='whether to optimize extrinsics')
+    parser.add_argument('--pose_lr', type=float, default=1e-6,
+                        help='[tpu extra] learning rate of the dR/dT pose '
+                             'refinement (--optimize_ext); default matches '
+                             'the reference\'s hard-coded value '
+                             '(train.py:139)')
     parser.add_argument('--random_bg', action='store_true', default=False,
                         help='''whether to train with random bg color (real
                         scene only) to avoid objects with black color to be

@@ -156,7 +156,8 @@ class NeRFSystem:
                     for k in params}
 
         tx_net = optax.adam(self.lr_schedule, eps=1e-15)
-        tx_ext = optax.adam(1e-6)  # hard-coded ext lr (train.py:139)
+        # reference hard-codes 1e-6 (train.py:139); --pose_lr overrides
+        tx_ext = optax.adam(getattr(self.hparams, "pose_lr", 1e-6))
         self.tx = optax.multi_transform(
             {"net": tx_net, "ext": tx_ext}, label_fn)
         self.opt_state = self.tx.init(self.params)
