@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--iters", type=int, default=48)
     ap.add_argument("--wh", type=int, default=800)
     ap.add_argument("--warmup_steps", type=int, default=288)
+    ap.add_argument("--s_flat", type=int, default=0,
+                    help="flat (ragged) eval budget — bench.py defaults 16; "
+                         "affects the full render_train stage only")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,8 @@ def main():
         rgb_layers=2, seed=1337, s_max_train=64, s_max_test=256,
         test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=False)
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=False,
+        s_flat=args.s_flat, lr_fused=True)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)

@@ -25,6 +25,7 @@ retained for behavioral parity and correctness tests.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -143,6 +144,58 @@ def _prolongation(k_fine: int, k_coarse: int) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(i - j)).astype(np.float32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hat_cp_prod(u3, w3, k_res, mm_dtype):
+    """prod_d B_{k_res}(u3[:, d]) @ w3[d] with a memory-lean VJP.
+
+    XLA's default reverse-mode saves the (N, K) hat bases as residuals
+    (~1.3 GB per axis-frame at the training config) — measured backward was
+    1.8x the forward (docs/TPU_NOTES.md round-3 stage budget). This VJP
+    saves only the three (N, R) axis products and REBUILDS each basis in
+    the backward (a VPU-only op), so the backward is three transpose
+    matmuls + one basis rebuild with no giant residual traffic.
+
+    du (for --optimize_ext pose gradients) uses the exact hat subgradient
+    (0 at knots); it is dead-code-eliminated when x is not differentiated.
+    """
+    out, _ = _hat_cp_prod_fwd(u3, w3, k_res, mm_dtype)
+    return out
+
+
+def _hat_cp_prod_fwd(u3, w3, k_res, mm_dtype):
+    a = []
+    for d in range(3):
+        basis = _hat_basis(u3[:, d], k_res)
+        a.append(jnp.dot(basis.astype(mm_dtype), w3[d].astype(mm_dtype),
+                         preferred_element_type=jnp.float32))
+    return a[0] * a[1] * a[2], (u3, w3, tuple(a))
+
+
+def _hat_cp_prod_bwd(k_res, mm_dtype, res, g):
+    u3, w3, a = res
+    scale = jnp.float32(k_res - 1)
+    ks = jnp.arange(k_res, dtype=jnp.float32)[None, :]
+    dw = []
+    du = []
+    for d in range(3):
+        e, f = (d + 1) % 3, (d + 2) % 3
+        g_d = g * a[e] * a[f]                                   # (N, R)
+        pos = u3[:, d][:, None] * scale
+        basis = jnp.maximum(0.0, 1.0 - jnp.abs(pos - ks))       # rebuild
+        dw.append(jnp.dot(basis.astype(mm_dtype).T, g_d.astype(mm_dtype),
+                          preferred_element_type=jnp.float32))  # (K, R)
+        db = jnp.dot(g_d.astype(mm_dtype), w3[d].astype(mm_dtype).T,
+                     preferred_element_type=jnp.float32)        # (N, K)
+        diff = pos - ks
+        dhat = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff) * scale, 0.0)
+        du.append(jnp.sum(db * dhat, axis=1))
+    return jnp.stack(du, axis=1).astype(u3.dtype), \
+        jnp.stack(dw).astype(w3.dtype)
+
+
+_hat_cp_prod.defvjp(_hat_cp_prod_fwd, _hat_cp_prod_bwd)
+
+
 def lowrank_encode(params: dict, x: jnp.ndarray,
                    cfg: LowRankConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Encode positions x (N, 3) in [0,1] -> (N, out_dim). Pure autodiff —
@@ -171,17 +224,12 @@ def lowrank_encode(params: dict, x: jnp.ndarray,
             else:
                 u3 = (xf - 0.5) @ rots[m].T / 1.7320508 + 0.5
             u3 = jnp.clip(u3, 0.0, 1.0)
-            prod = None
-            for d in range(3):
-                # fold every level's table onto the finest grid: (K_max, L*R)
-                w = jnp.concatenate(
-                    [p @ params["lines"][m][li][d]
-                     for li, p in enumerate(prols)], axis=1)
-                basis = _hat_basis(u3[:, d], k_max)       # fp32 VPU build
-                a = jnp.dot(basis.astype(mm_dt), w.astype(mm_dt),
-                            preferred_element_type=jnp.float32)  # (N, L*R)
-                prod = a if prod is None else prod * a
-            feats.append(prod)
+            # fold every level's table onto the finest grid: (3, K_max, L*R)
+            w3 = jnp.stack([
+                jnp.concatenate([p @ params["lines"][m][li][d]
+                                 for li, p in enumerate(prols)], axis=1)
+                for d in range(3)])
+            feats.append(_hat_cp_prod(u3, w3, k_max, mm_dt))
     else:
         for m in range(cfg.n_frames):
             if m == 0:
