@@ -86,6 +86,14 @@ class RenderConfig:
                             (0.04, 1024, 96), (0.015, 4096, 256))
     guided_stride: int = 4         # low-res pass subsampling factor
     guided_margin_cells: float = 2.0   # guided t-range slack, in fine cells
+    # padded-round field evals beyond this many slots run as sequential
+    # lax.map chunks: XLA materializes the (slots, K_pad) bf16 hat basis
+    # before its matmul, so an unchunked round beyond ~4M slots (~5 GB)
+    # OOMs HBM — this cap is why round capacities historically shrank as
+    # sample caps grew. Chunking lifts the constraint so schedules can use
+    # fewer, larger rounds (machinery is ~34 ms/round at 640k rays,
+    # docs/TPU_NOTES.md round 3). 0 disables.
+    eval_chunk: int = 2 ** 21
     # completion sweep after the static rounds (capacity, window, cap):
     # while_loop'd fixed-shape rounds until NO ray is alive — the static
     # schedules are throughput tuning, this is the correctness guarantee
@@ -539,8 +547,26 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
             dir_flat = jnp.broadcast_to(rd[:, None, :],
                                         (c, s_cap, 3)).reshape(-1, 3)
-            sigmas, rgbs = model(params, xyz_flat, dir_flat,
-                                 exposure=exposure)
+            n_slots = c * s_cap
+            if rcfg.eval_chunk and n_slots > rcfg.eval_chunk:
+                # sequential chunks bound the transient (slots, K_pad) hat
+                # basis XLA materializes per matmul — see eval_chunk above
+                n_ch = -(-n_slots // rcfg.eval_chunk)
+                pad = n_ch * rcfg.eval_chunk - n_slots
+                xyz_c = jnp.concatenate(
+                    [xyz_flat, jnp.zeros((pad, 3), xyz_flat.dtype)]
+                ).reshape(n_ch, rcfg.eval_chunk, 3)
+                dir_c = jnp.concatenate(
+                    [dir_flat, jnp.ones((pad, 3), dir_flat.dtype)]
+                ).reshape(n_ch, rcfg.eval_chunk, 3)
+                sigmas, rgbs = jax.lax.map(
+                    lambda xd: model(params, xd[0], xd[1],
+                                     exposure=exposure), (xyz_c, dir_c))
+                sigmas = sigmas.reshape(-1)[:n_slots]
+                rgbs = rgbs.reshape(-1, 3)[:n_slots]
+            else:
+                sigmas, rgbs = model(params, xyz_flat, dir_flat,
+                                     exposure=exposure)
             sigmas = jnp.where(mr.mask.reshape(-1), sigmas,
                                0.0).reshape(c, s_cap)
             rgbs = rgbs.reshape(c, s_cap, 3)

@@ -63,6 +63,27 @@ def cosine_staircase_lr(lr0, num_epochs, steps_per_epoch=STEPS_PER_EPOCH):
     return schedule
 
 
+def allgather_ragged(vals, n_max, gather=None):
+    """Gather each process's ragged per-image metric list.
+
+    Pads this rank's list to the static n_max with NaN sentinels,
+    all-gathers across processes, and drops the padding (the reference's
+    `all_gather_ddp_if_available` on a round-robin image split,
+    train.py:230-242). NaN — not -1 — is the sentinel: SSIM can be
+    legitimately negative on anticorrelated images.
+
+    ``gather`` is injectable for unit tests (multi-process validation is
+    not reachable in CI); defaults to multihost_utils.process_allgather.
+    """
+    if gather is None:
+        from jax.experimental import multihost_utils
+        gather = multihost_utils.process_allgather
+    pad = np.full(n_max, np.nan, np.float32)
+    pad[:len(vals)] = vals
+    flat = np.asarray(gather(jnp.asarray(pad))).reshape(-1)
+    return flat[~np.isnan(flat)].tolist()
+
+
 class NeRFSystem:
     def __init__(self, hparams):
         self.hparams = hparams
@@ -489,18 +510,9 @@ class NeRFSystem:
                 f"{k}={v:.4f}" for k, v in logs.items()), flush=True)
 
         if n_proc > 1:  # gather every rank's per-image metrics
-            from jax.experimental import multihost_utils
-
-            def allgather_list(vals):
-                pad = -np.ones(n_imgs, np.float32)  # ragged -> padded
-                pad[:len(vals)] = vals
-                g = multihost_utils.process_allgather(jnp.asarray(pad))
-                flat = np.asarray(g).reshape(-1)
-                return flat[flat >= 0].tolist()
-
-            psnrs = allgather_list(psnrs)
-            ssims = allgather_list(ssims)
-            lpipss = allgather_list(lpipss)
+            psnrs = allgather_ragged(psnrs, n_imgs)
+            ssims = allgather_ragged(ssims, n_imgs)
+            lpipss = allgather_ragged(lpipss, n_imgs)
 
         out = {}
         if psnrs:
