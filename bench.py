@@ -44,6 +44,8 @@ def main():
                          "steady-state rm_s ~12; early high-rm_s steps run "
                          "padded via FLAT_AFTER")
     ap.add_argument("--s_max_train", type=int, default=64)
+    ap.add_argument("--lr_k_max", type=int, default=512,
+                    help="LowRank finest-level knots (encoder cost ~ K)")
     ap.add_argument("--scale", type=float, default=0.5,
                     help="scene scale; > 0.5 exercises the multi-cascade "
                          "exponential-dt marching (TaT/mip-360-class config) "
@@ -83,7 +85,8 @@ def main():
         rgb_layers=2, seed=1337, s_max_train=args.s_max_train,
         s_max_test=256, test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=args.bf16,
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=args.lr_k_max,
+        bf16=args.bf16,
         s_flat=args.s_flat, lr_fused=bool(args.lr_fused))
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -235,6 +238,7 @@ def main():
         "config": {
             "grid": args.grid, "s_flat": args.s_flat,
             "s_max_train": args.s_max_train, "scale": args.scale,
+            "lr_k_max": args.lr_k_max,
             "batch_size": args.batch_size, "bf16": args.bf16,
             "lr_fused": bool(args.lr_fused),
             "ms_per_step_median": round(med, 2),
