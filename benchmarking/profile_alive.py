@@ -56,6 +56,13 @@ def main():
                     help="rasterized-prepass pixel block size")
     ap.add_argument("--pre_dilate", type=int, default=3,
                     help="rasterized-prepass block dilation")
+    ap.add_argument("--t_threshold", type=float, default=None,
+                    help="override rcfg.T_threshold (the reference's "
+                         "published FPS protocol uses 1e-2; training/"
+                         "validation renders use 1e-4)")
+    ap.add_argument("--eval_chunk", type=int, default=None,
+                    help="override rcfg.eval_chunk (0 disables chunked "
+                         "padded-round field eval)")
     ap.add_argument("--no_prefix", action="store_true",
                     help="skip per-round prefix timing (each prefix is a "
                          "separate slow tunnel compile); report only the "
@@ -125,6 +132,10 @@ def main():
         import json
         sched = tuple(tuple(r) for r in json.loads(args.schedule))
         rcfg = dataclasses.replace(rcfg, rounds=sched, rounds_full=sched)
+    if args.t_threshold is not None:
+        rcfg = dataclasses.replace(rcfg, T_threshold=args.t_threshold)
+    if args.eval_chunk is not None:
+        rcfg = dataclasses.replace(rcfg, eval_chunk=args.eval_chunk)
 
     if args.field_probe:
         import functools

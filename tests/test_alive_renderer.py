@@ -180,3 +180,27 @@ def test_starving_schedule_completes_via_sweep():
                                np.asarray(res_dense["rgb"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
                                np.asarray(res_dense["opacity"]), atol=2e-3)
+
+
+def test_chunked_padded_eval_matches_unchunked():
+    # eval_chunk splits each padded round's field eval into sequential
+    # lax.map chunks (HBM bound on the transient hat basis). Force a tiny
+    # chunk so the path runs at test scale; outputs must match the
+    # unchunked program exactly (same samples, same math, only batching
+    # differs).
+    model, params, occ, rays_o, rays_d = _setup()
+    base = RenderConfig(
+        max_samples=128, s_max_test=256, test_chunk=512,
+        rounds=((1.0, 64, 16), (0.5, 128, 32), (0.25, 256, 64)),
+        rounds_full=((1.0, 64, 16), (0.5, 128, 32), (0.25, 256, 64)))
+    res_un = render_test(model, params, occ, rays_o, rays_d,
+                         dataclasses.replace(base, eval_chunk=0))
+    # 100 does not divide any round's c*s_cap -> exercises the pad+slice
+    res_ch = render_test(model, params, occ, rays_o, rays_d,
+                         dataclasses.replace(base, eval_chunk=100))
+    np.testing.assert_allclose(np.asarray(res_ch["rgb"]),
+                               np.asarray(res_un["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_ch["opacity"]),
+                               np.asarray(res_un["opacity"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_ch["depth"]),
+                               np.asarray(res_un["depth"]), atol=1e-6)
