@@ -1,7 +1,9 @@
 #!/bin/bash
 # TPU NOTE: MixedFeature is gather/scatter-bound on TPU — measured 2587.6
 # ms/step (vs 18.2 for --grid LowRank) = ~142x; 20 epochs would take ~days.
-# Use --grid LowRank for the TPU fast path (docs/TPU_NOTES.md).
+# Use --grid LowRank for the TPU fast path (docs/TPU_NOTES.md), or
+# --hash_grad_samples 1 to cut the backward scatter wall 8x with an
+# unbiased sampled-corner table gradient (exact forward).
 # MixedFeature variants T=20/22, 8 tables, 128ch rgb (reference
 # benchmark_synthetic_nerf_mf.sh; its stale --N_grids flag is --N_tables).
 ROOT_DIR=${ROOT_DIR:-/data/Synthetic_NeRF}

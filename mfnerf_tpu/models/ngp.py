@@ -48,6 +48,10 @@ class NGPConfig:
     N_min: int = 16
     N_max: int = 2048
     N_tables: int = 1
+    # Hash/Window/MixedFeature table-gradient scatter budget: corners (of 8)
+    # receiving backward scatter-adds, sampled by trilinear weight (exactly
+    # unbiased; see ops/hashgrid.HashGridConfig.grad_corners). 8 = exact.
+    hash_grad_samples: int = 8
     rgb_channels: int = 64
     rgb_layers: int = 2
     rgb_act: str = "Sigmoid"      # 'Sigmoid' | 'None' (HDR / exposure mode)
@@ -89,7 +93,7 @@ class NGPConfig:
         return HashGridConfig.create(
             L=self.L, F=self.F, log2_T=self.log2_T, N_min=self.N_min,
             b=self.per_level_scale, grid_type=self.grid,
-            N_tables=self.N_tables)
+            N_tables=self.N_tables, grad_corners=self.hash_grad_samples)
 
     @property
     def lowrank_cfg(self) -> LowRankConfig:
@@ -263,10 +267,13 @@ class NGP:
         # (x - xyz_min) / (xyz_max - xyz_min), networks.py:105
         return jnp.clip((x + cfg.scale) / (2 * cfg.scale), 0.0, 1.0)
 
-    def density(self, params, x, return_feat=False, window_alpha=None):
+    def density(self, params, x, return_feat=False, window_alpha=None,
+                grad_noise=None):
         """sigma at world positions x in [-scale, scale]^3.
 
         Parity: networks.py:96-109. Returns (N,) sigma [and (N,16) features].
+        ``grad_noise``: optional (N, hash_grad_samples) uniforms enabling the
+        stochastic-corner table gradient (training-only throughput knob).
         """
         xn = self._normalize(x)
         if self.is_lowrank:
@@ -277,7 +284,7 @@ class NGP:
             if self.cfg.grid == "Window" and window_alpha is not None:
                 win = window_weights(self.hash_cfg, window_alpha)
             enc = hashgrid_encode(params["hash_table"], xn, self.hash_cfg,
-                                  win)
+                                  win, grad_noise)
         h = _mlp_apply(params["sigma_mlp"], enc, dtype=self.dtype)
         sigmas = trunc_exp(h[:, 0])
         if return_feat:
@@ -298,13 +305,14 @@ class NGP:
         return jnp.concatenate(outs, axis=1)
 
     def forward(self, params, x, d, exposure=None, output_radiance=False,
-                window_alpha=None):
+                window_alpha=None, grad_noise=None):
         """(sigma, rgb) at positions x with view directions d.
 
         Parity: networks.py:134-155.
         """
         sigmas, h = self.density(params, x, return_feat=True,
-                                 window_alpha=window_alpha)
+                                 window_alpha=window_alpha,
+                                 grad_noise=grad_noise)
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
         sh = sh_encode((d + 1.0) / 2.0, self.cfg.sh_degree)
         inp = jnp.concatenate([sh, h], axis=1)

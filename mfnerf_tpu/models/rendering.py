@@ -141,8 +141,16 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
     hits_t = _clamp_near(hits_t)
 
-    key_noise, key_bg = jax.random.split(key)
+    key_noise, key_bg, key_gn = jax.random.split(key, 3)
     noise = jax.random.uniform(key_noise, (rays_o.shape[0],))
+
+    def hash_grad_noise(n_samples):
+        # per-sample uniforms for the stochastic-corner table gradient
+        # (hash-family grids only; ops/hashgrid.HashGridConfig.grad_corners)
+        if model.is_lowrank or model.cfg.hash_grad_samples >= 8:
+            return None
+        return jax.random.uniform(
+            key_gn, (n_samples, model.cfg.hash_grad_samples))
     stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
                                cfg.scale, cfg.grid_size, cfg.cascades)
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
@@ -208,7 +216,8 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         ts_f = jnp.where(valid, ts_f, 0.0)
         deltas_f = jnp.where(valid, deltas_f, 0.0)
         xyz_f = o_f + ts_f[:, None] * d_f
-        sigmas, rgbs = model(params, xyz_f, d_f, exposure=exp_f)
+        sigmas, rgbs = model(params, xyz_f, d_f, exposure=exp_f,
+                             grad_noise=hash_grad_noise(b))
         sigmas = jnp.where(valid, sigmas, 0.0)
 
         comp = composite_train_flat(sigmas, rgbs, deltas_f, ts_f, valid,
@@ -226,7 +235,8 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         if exposure is not None:
             exp_flat = jnp.broadcast_to(exposure[:, None, :],
                                         (n, s, 1)).reshape(-1, 1)
-        sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exp_flat)
+        sigmas, rgbs = model(params, xyz_flat, dir_flat, exposure=exp_flat,
+                             grad_noise=hash_grad_noise(n * s))
         sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(n, s)
         rgbs = rgbs.reshape(n, s, 3)
         comp = composite_train(sigmas, rgbs, mr.deltas, mr.ts, mr.mask,

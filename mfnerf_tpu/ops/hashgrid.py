@@ -73,10 +73,22 @@ class HashGridConfig:
     N_tables: int = 1
     levels: Tuple[LevelSpec, ...] = ()
     n_params: int = 0
+    # table-gradient scatter budget: number of corners (of 8) that receive
+    # scatter-add updates in the backward, sampled proportionally to their
+    # trilinear weights. 8 = exact (every corner). The trilinear weights of
+    # a sample sum to 1 per level, so sampling a corner with probability
+    # w_c and scattering the UNWEIGHTED cotangent there is an exactly
+    # unbiased estimator of the true table gradient with 8/grad_corners
+    # fewer scatter updates — the measured TPU wall for Hash/MixedFeature
+    # training (~60 ns per scatter-add update, docs/TPU_NOTES.md). Needs
+    # per-sample uniforms via hashgrid_encode(..., grad_noise=...); exact
+    # whenever grad_noise is None.
+    grad_corners: int = 8
 
     @staticmethod
     def create(L=16, F=2, log2_T=19, N_min=16, b=1.3819128800392336,
-               grid_type="Hash", N_tables=1) -> "HashGridConfig":
+               grid_type="Hash", N_tables=1,
+               grad_corners=8) -> "HashGridConfig":
         if grid_type not in ("Hash", "Window", "MixedFeature"):
             raise ValueError(f"unknown grid type {grid_type!r}")
         hashmap_size = 1 << log2_T
@@ -135,7 +147,8 @@ class HashGridConfig:
             n_params = offset
         return HashGridConfig(L=L, F=F, log2_T=log2_T, N_min=N_min, b=b,
                               grid_type=grid_type, N_tables=N_tables,
-                              levels=tuple(specs), n_params=n_params)
+                              levels=tuple(specs), n_params=n_params,
+                              grad_corners=grad_corners)
 
     @property
     def out_dim(self) -> int:
@@ -205,7 +218,8 @@ def _fwd_impl(params, x, cfg: HashGridConfig, window=None):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hashgrid_encode(params, x, cfg: HashGridConfig, window=None):
+def hashgrid_encode(params, x, cfg: HashGridConfig, window=None,
+                    grad_noise=None):
     """Encode positions with the multiresolution (mixed-feature) hash grid.
 
     Args:
@@ -213,6 +227,9 @@ def hashgrid_encode(params, x, cfg: HashGridConfig, window=None):
         x: (N, 3) positions normalized to [0, 1].
         cfg: static :class:`HashGridConfig`.
         window: optional (L,) per-level window weights (Window grid type).
+        grad_noise: optional (N, cfg.grad_corners) uniforms in [0, 1)
+            enabling the stochastic-corner table gradient (see
+            ``HashGridConfig.grad_corners``); the forward is always exact.
 
     Returns:
         (N, L*F) features, level-major (level 0 features first), matching the
@@ -221,13 +238,13 @@ def hashgrid_encode(params, x, cfg: HashGridConfig, window=None):
     return _fwd_impl(params, x, cfg, window)
 
 
-def _encode_fwd(params, x, cfg, window=None):
+def _encode_fwd(params, x, cfg, window=None, grad_noise=None):
     out = _fwd_impl(params, x, cfg, window)
-    return out, (params, x, window)
+    return out, (params, x, window, grad_noise)
 
 
 def _encode_bwd(cfg, residuals, g):
-    params, x, window = residuals
+    params, x, window, grad_noise = residuals
     scale, res, offset, size, dense, salt = map(jnp.asarray,
                                                 _level_arrays(cfg))
     n = x.shape[0]
@@ -246,16 +263,22 @@ def _encode_bwd(cfg, residuals, g):
     d_params = jnp.zeros_like(params)
     d_x = jnp.zeros_like(xf)
     need_dx = True  # cheap relative to the scatter; keeps pose-refinement live
+    stochastic = grad_noise is not None and cfg.grad_corners < 8
+    ws = []  # (8,) list of (L, N) trilinear weights for corner sampling
     for c in range(8):
         bits = jnp.array([c & 1, (c >> 1) & 1, (c >> 2) & 1], jnp.int32)
-        idx = _corner_index(base + bits, res, offset, size, dense, salt)
         bmask = bits.astype(bool)
         wb = jnp.where(bmask, frac, 1.0 - frac)  # (L,N,3)
         w = wb[..., 0] * wb[..., 1] * wb[..., 2]
-        upd = (w[..., None] * gl_tab).reshape(-1, cfg.F)
-        d_params = d_params.at[idx.reshape(-1)].add(
-            upd.astype(params.dtype), mode="drop")
+        if stochastic:
+            ws.append(w)
+        else:
+            idx = _corner_index(base + bits, res, offset, size, dense, salt)
+            upd = (w[..., None] * gl_tab).reshape(-1, cfg.F)
+            d_params = d_params.at[idx.reshape(-1)].add(
+                upd.astype(params.dtype), mode="drop")
         if need_dx:
+            idx = _corner_index(base + bits, res, offset, size, dense, salt)
             feat = params[idx].astype(jnp.float32)       # (L,N,F)
             gdot = (feat * gl_tab).sum(-1)               # (L,N)
             sgn = jnp.where(bmask, 1.0, -1.0)
@@ -267,12 +290,34 @@ def _encode_bwd(cfg, residuals, g):
             ], axis=-1)                                   # (L,N,3)
             d_x = d_x + ((gdot[..., None] * dw)
                          * scale[:, None, None]).sum(0)
+    if stochastic:
+        # Sample cfg.grad_corners of the 8 corners per (level, sample) with
+        # probability = trilinear weight via inverse-CDF on the per-sample
+        # uniforms, and scatter the UNWEIGHTED cotangent there: because the
+        # 8 weights sum to 1, E[scatter] == sum_c w_c * gl_tab @ idx_c — the
+        # exact gradient — with 8/grad_corners fewer scatter-add updates
+        # (the measured TPU wall, ~60 ns/update; docs/TPU_NOTES.md).
+        m = cfg.grad_corners
+        cumw = jnp.cumsum(jnp.stack(ws), axis=0)            # (8, L, N)
+        u = grad_noise.astype(jnp.float32).T                # (m, N)
+        cstar = jnp.minimum(
+            (cumw[None] < u[:, None, None, :]).sum(1), 7)   # (m, L, N)
+        bits = jnp.stack([cstar & 1, (cstar >> 1) & 1, (cstar >> 2) & 1],
+                         axis=-1)                           # (m, L, N, 3)
+        corner = (base[None] + bits).transpose(1, 0, 2, 3)  # (L, m, N, 3)
+        idx_s = _corner_index(corner.reshape(cfg.L, m * n, 3),
+                              res, offset, size, dense, salt)
+        upd = jnp.broadcast_to(gl_tab[:, None] / m,
+                               (cfg.L, m, n, cfg.F)).reshape(-1, cfg.F)
+        d_params = d_params.at[idx_s.reshape(-1)].add(
+            upd.astype(params.dtype), mode="drop")
     d_window = None
     if window is not None:
         out_l = _fwd_impl(params, x, cfg, None)
         out_l = out_l.reshape(n, cfg.L, cfg.F).transpose(1, 0, 2)
         d_window = (out_l * gl).sum(axis=(1, 2))
-    return d_params, d_x.astype(x.dtype), d_window
+    d_gn = None if grad_noise is None else jnp.zeros_like(grad_noise)
+    return d_params, d_x.astype(x.dtype), d_window, d_gn
 
 
 hashgrid_encode.defvjp(_encode_fwd, _encode_bwd)

@@ -147,6 +147,14 @@ def get_opts(argv=None):
                              'folded into one full-MXU-lane bf16 matmul per '
                              'axis). 1 (default) on; 0 restores the '
                              'per-level fp32 path')
+    parser.add_argument('--hash_grad_samples', type=int, default=8,
+                        choices=[1, 2, 4, 8],
+                        help='[tpu] Hash/Window/MixedFeature grids: corners '
+                             '(of 8) receiving backward scatter-add updates, '
+                             'sampled by trilinear weight (exactly unbiased). '
+                             '8 = exact backward. Lower values cut the '
+                             'scatter-add wall that dominates hash-family '
+                             'training on TPU (docs/TPU_NOTES.md)')
     parser.add_argument('--grid_size', type=int, default=128,
                         help='[tpu] occupancy grid resolution (reference '
                              'fixes 128)')

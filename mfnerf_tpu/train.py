@@ -92,6 +92,7 @@ class NeRFSystem:
             log2_T=hparams.T, N_min=hparams.N_min, N_max=hparams.N_max,
             N_tables=hparams.N_tables, rgb_channels=hparams.rgb_channels,
             rgb_layers=hparams.rgb_layers,
+            hash_grad_samples=getattr(hparams, "hash_grad_samples", 8),
             rgb_act="None" if hparams.use_exposure else "Sigmoid",
             grid_size=getattr(hparams, "grid_size", 128),
             lr_levels=getattr(hparams, "lr_levels", 8),

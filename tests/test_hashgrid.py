@@ -144,3 +144,82 @@ def test_window_alpha_one_equals_hash():
     wh = window_weights(cfg, 0.5)
     out_half = np.asarray(hashgrid_encode(params, x, cfg, wh))
     assert np.abs(out_half[:, -cfg.F:]).max() == 0.0
+
+
+def test_stochastic_backward_unbiased():
+    """grad_corners<8: the sampled-corner table gradient equals the exact
+    gradient in expectation. Quadrature check: averaging the estimator over a
+    stratified grid of uniforms integrates the inverse-CDF sampling exactly up
+    to the weight-boundary discretization (<= 8/K of the cotangent mass)."""
+    cfg = _small_cfg(grad_corners=1)
+    cfg_exact = _small_cfg()
+    key = jax.random.PRNGKey(0)
+    params = init_hashgrid_params(key, cfg) * 1e4
+    n = 32
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3)) * 0.95 + 0.01
+    cot = jax.random.normal(jax.random.PRNGKey(2), (n, cfg.out_dim))
+
+    def grad_with_noise(u_scalar):
+        gn = jnp.full((n, 1), u_scalar)
+        return jax.grad(lambda p: (hashgrid_encode(p, x, cfg, None, gn)
+                                   * cot).sum())(params)
+
+    K = 512
+    us = (np.arange(K) + 0.5) / K
+    acc = np.zeros_like(np.asarray(params))
+    f = jax.jit(grad_with_noise)
+    for u in us:
+        acc += np.asarray(f(u))
+    acc /= K
+    exact = np.asarray(jax.grad(
+        lambda p: (hashgrid_encode(p, x, cfg_exact, None) * cot).sum()
+    )(params))
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(acc, exact, atol=scale * 8.5 / K)
+
+
+def test_stochastic_backward_multi_corner_and_dx():
+    """m>1 averages m one-corner draws (same expectation, each draw a valid
+    single-corner estimate) and d_x stays EXACT regardless of grad_corners."""
+    cfg = _small_cfg(grad_corners=4)
+    cfg_exact = _small_cfg()
+    key = jax.random.PRNGKey(5)
+    params = init_hashgrid_params(key, cfg) * 1e4
+    n = 64
+    x = jax.random.uniform(jax.random.PRNGKey(6), (n, 3)) * 0.9 + 0.05
+    cot = jax.random.normal(jax.random.PRNGKey(7), (n, cfg.out_dim))
+    gn = jax.random.uniform(jax.random.PRNGKey(8), (n, 4))
+
+    gp_s, gx_s = jax.grad(
+        lambda p, xx: (hashgrid_encode(p, xx, cfg, None, gn) * cot).sum(),
+        argnums=(0, 1))(params, x)
+    gp_e, gx_e = jax.grad(
+        lambda p, xx: (hashgrid_encode(p, xx, cfg_exact, None) * cot).sum(),
+        argnums=(0, 1))(params, x)
+    # d_x exact
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_e),
+                               rtol=1e-5, atol=1e-6)
+    # table grad: same total cotangent mass routed per level (weights sum
+    # to 1 -> every draw deposits exactly g/m somewhere in the level)
+    def level_mass(gp):
+        out = []
+        for lv in cfg.levels:
+            out.append(np.asarray(gp)[lv.offset:lv.offset + lv.size].sum(0))
+        return np.stack(out)
+    np.testing.assert_allclose(level_mass(gp_s), level_mass(gp_e),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stochastic_ignored_without_noise():
+    """grad_corners<8 with grad_noise=None falls back to the exact backward."""
+    cfg = _small_cfg(grad_corners=1)
+    cfg_exact = _small_cfg()
+    params = init_hashgrid_params(jax.random.PRNGKey(0), cfg) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3)) * 0.9
+    cot = jax.random.normal(jax.random.PRNGKey(2), (16, cfg.out_dim))
+    gp_s = jax.grad(lambda p: (hashgrid_encode(p, x, cfg, None) * cot).sum()
+                    )(params)
+    gp_e = jax.grad(
+        lambda p: (hashgrid_encode(p, x, cfg_exact, None) * cot).sum()
+    )(params)
+    np.testing.assert_allclose(np.asarray(gp_s), np.asarray(gp_e))
