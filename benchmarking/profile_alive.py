@@ -279,7 +279,17 @@ def main():
 
     if args.schedules:
         import json
-        ref_rgb = None
+        # correctness anchor: the DENSE single-pass oracle at the same
+        # T_threshold — schedules must only ever be compared against it,
+        # never against each other (a starved schedule pair looks "equal";
+        # see docs/TPU_NOTES.md round-2 completion-guarantee fix)
+        from mfnerf_tpu.models.rendering import render_test_dense
+        # small chunks: a 65536-ray dense chunk materializes a ~10+ GB hat
+        # basis (s_max_test x K_pad bf16) and OOMs HBM
+        oracle = render_test_dense(model, params, occ, rays_o, rays_d,
+                                   dataclasses.replace(rcfg,
+                                                       test_chunk=16384))
+        _sync(oracle["rgb"])
         for name, sched in json.loads(args.schedules).items():
             r2 = dataclasses.replace(rcfg,
                                      rounds=tuple(tuple(r) for r in sched),
@@ -288,12 +298,8 @@ def main():
             out = _render_test_alive(model, params, occ, rays_o, rays_d, r2,
                                      t_near, t_far)
             _sync(out[0])
-            if ref_rgb is None:
-                ref_rgb = out[0]
-                note = "(reference frame)"
-            else:
-                err = float(jnp.mean((out[0] - ref_rgb) ** 2))
-                note = f"psnr-vs-first {-10 * np.log10(max(err, 1e-12)):.1f}"
+            err = float(jnp.mean((out[0] - oracle["rgb"]) ** 2))
+            note = f"psnr-vs-oracle {-10 * np.log10(max(err, 1e-12)):.1f}"
             ts = []
             for i in range(args.frames):
                 t0 = time.perf_counter()
@@ -302,8 +308,18 @@ def main():
                                          rays_d, r2, t_near, t_far)
                 _sync(out[0])
                 ts.append(time.perf_counter() - t0)
-            print(f"  {name}: {min(ts) * 1e3:8.1f} ms/frame "
-                  f"({len(sched)} rounds) {note}", flush=True)
+            # pipelined: frames in flight, one barrier — the honest
+            # throughput number over the tunnel (~30 ms RTT per dispatch)
+            t0 = time.perf_counter()
+            outs = [_render_test_alive(model, params, occ,
+                                       rays_o + (i + 10) * 1e-6, rays_d,
+                                       r2, t_near, t_far)
+                    for i in range(4)]
+            [_sync(o[0]) for o in outs]
+            pipe = (time.perf_counter() - t0) / 4
+            print(f"  {name}: blocking {min(ts) * 1e3:8.1f} ms/frame, "
+                  f"pipelined {pipe * 1e3:8.1f} ms ({1 / pipe:.2f} fps, "
+                  f"{len(sched)} rounds) {note}", flush=True)
         return
     if args.no_prefix:
         return
