@@ -42,7 +42,8 @@ def run_one(grid, args, overrides=None):
     for k, v in (overrides or {}).items():
         setattr(hp, k, v)
 
-    scene = make_scene(n_train=24, n_test=2, wh=args.wh, seed=0)
+    scene = make_scene(n_train=24, n_test=2, wh=args.wh, seed=0,
+                       thin=args.thin)
     system = NeRFSystem(hp)
     system.setup(MemoryDataset.from_scene(scene, "train"),
                  MemoryDataset.from_scene(scene, "test"))
@@ -141,6 +142,10 @@ def main():
                          "gather-bound encoders: the tunnel kills ~1 min "
                          "dispatches)")
     ap.add_argument("--grids", type=str, default="LowRank,Hash")
+    ap.add_argument("--thin", action="store_true",
+                    help="add sub-voxel striped rods to the scene "
+                         "(hash-grid-favorable thin structure; the "
+                         "LowRank-vs-Hash quality fixture)")
     ap.add_argument("--variants", type=str, default=None,
                     help="JSON list of hparam-override dicts, each with a "
                          "'grid' key; replaces --grids when given. E.g. "
