@@ -96,17 +96,37 @@ def run_one(grid, args, overrides=None):
         print(f"warmup chunk {n} (step {step}, "
               f"psnr {float(metrics['psnr']):.2f})", file=sys.stderr,
               flush=True)
-    t0 = time.perf_counter()
-    for n in sizes:
-        system.params, system.opt_state, system.occ, metrics = run_fused(
-            n, step)
-        # device_get, not block_until_ready: the latter can return before
-        # execution finishes over the tunnel (docs/TPU_NOTES.md)
-        step += n
-        print(f"step {step}: psnr {float(jax.device_get(metrics['psnr'])):.2f}",
-              file=sys.stderr, flush=True)
+    if args.budget_s:
+        # equal-WALL-CLOCK protocol (the per-unit-time quality question:
+        # VERDICT round-2 weak #6): the warmup loop above compiled the
+        # chunk programs; reset to fresh params and run EVERYTHING —
+        # occupancy warmup included, it is real wall-clock the reference
+        # pays too — until the budget elapses, whatever the per-step cost
+        system.configure(jax.random.PRNGKey(0))
+        step = 0
+        n_meas = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < args.budget_s:
+            system.params, system.opt_state, system.occ, metrics = \
+                run_fused(chunk, step)
+            step += chunk
+            n_meas += chunk
+            print(f"step {step} ({time.perf_counter() - t0:.0f}s): psnr "
+                  f"{float(jax.device_get(metrics['psnr'])):.2f}",
+                  file=sys.stderr, flush=True)
+    else:
+        t0 = time.perf_counter()
+        for n in sizes:
+            system.params, system.opt_state, system.occ, metrics = run_fused(
+                n, step)
+            # device_get, not block_until_ready: the latter can return
+            # before execution finishes over the tunnel (docs/TPU_NOTES.md)
+            step += n
+            print(f"step {step}: psnr "
+                  f"{float(jax.device_get(metrics['psnr'])):.2f}",
+                  file=sys.stderr, flush=True)
     dt = time.perf_counter() - t0
-    ms_per_step = dt / n_meas * 1e3
+    ms_per_step = dt / max(n_meas, 1) * 1e3
 
     # test PSNR on the held-out views
     psnrs = []
@@ -120,7 +140,7 @@ def run_one(grid, args, overrides=None):
         psnrs.append(float(psnr(res["rgb"], jnp.asarray(batch["rgb"]))))
     m = jax.device_get(metrics)
     out = {
-        "grid": grid, "ms_per_step": round(ms_per_step, 2),
+        "grid": grid, "steps": step, "ms_per_step": round(ms_per_step, 2),
         "rays_per_sec": round(args.batch_size / (ms_per_step / 1e3)),
         "test_psnr": round(sum(psnrs) / len(psnrs), 2),
         "train_psnr": round(float(m["psnr"]), 2),
@@ -142,6 +162,11 @@ def main():
                          "gather-bound encoders: the tunnel kills ~1 min "
                          "dispatches)")
     ap.add_argument("--grids", type=str, default="LowRank,Hash")
+    ap.add_argument("--budget_s", type=float, default=0.0,
+                    help="equal-WALL-CLOCK mode: train each variant for this "
+                         "many seconds from fresh params (grid warmup "
+                         "included, compiles excluded) instead of --steps "
+                         "steps — the per-unit-time quality protocol")
     ap.add_argument("--thin", action="store_true",
                     help="add sub-voxel striped rods to the scene "
                          "(hash-grid-favorable thin structure; the "
