@@ -25,6 +25,11 @@ def main():
                        help="depth-guided two-pass rendering (see "
                             "models/rendering.render_test; approximate on "
                             "silhouettes of sub-stride occluders)")
+    extra.add_argument("--t_threshold", type=float, default=1e-2,
+                       help="transmittance kill threshold. The reference's "
+                            "offline-eval protocol (test.ipynb cell 2) "
+                            "renders at 1e-2, not the 1e-4 used in "
+                            "training-time validation")
     extra_args, rest = extra.parse_known_args()
     hparams = get_opts(rest)
     if not hparams.ckpt_path:
@@ -39,7 +44,10 @@ def main():
     from mfnerf_tpu.utils.ckpt import load_ckpt
     from mfnerf_tpu.utils.metrics import psnr as psnr_fn
 
+    import dataclasses
     system = NeRFSystem(hparams)
+    system.rcfg = dataclasses.replace(system.rcfg,
+                                      T_threshold=extra_args.t_threshold)
     dataset = dataset_dict[hparams.dataset_name](
         root_dir=hparams.root_dir, split="test",
         downsample=hparams.downsample)
@@ -69,7 +77,9 @@ def main():
                           system.rcfg,
                           camera=(dataset.K, batch["pose"], dataset.img_wh),
                           guided=extra_args.guided)
-        jax.block_until_ready(res["rgb"])
+        # device_get of a derived scalar: block_until_ready can return
+        # before execution finishes over the tunnel (docs/TPU_NOTES.md)
+        float(jax.device_get(res["rgb"].sum()))
         times.append(time.perf_counter() - t0)
         line = f"image {i}: {times[-1] * 1e3:.0f} ms"
         if "rgb" in batch:
