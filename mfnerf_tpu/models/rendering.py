@@ -457,7 +457,10 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
         landed on content (the ATC flag), so their padded sample blocks run
         at high fill."""
         seek = s_cap == 0
-        if c == n:
+        if c == st.shape[0]:
+            # full-capacity call (frac-1.0 rounds, or the completion
+            # sweep's pre-compacted sub-array): no selection, no row
+            # movement
             ids = None
             row = st
         else:
@@ -643,7 +646,27 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
 
     def sweep_body(carry):
         st, vr_total, it = carry
-        st, vr_total, _ = run_round(st, vr_total, c_s, w_s, cap_s, 0)
+        # select ONCE per outer iteration: no ray returns to life after the
+        # static rounds, so the chosen sub-array can be driven to completion
+        # without re-paying top_k over the frame + full-row gather/scatter
+        # (~3 ms/iteration at 640k rays) every window. The outer loop only
+        # re-selects when more than c_s rays survived the schedule.
+        _, ids = jax.lax.top_k(st[:, AL], c_s)
+        rows = st[ids]
+
+        def inner_cond(carry2):
+            rows, vr, it2 = carry2
+            return (jnp.sum(rows[:, AL]) > 0) \
+                & (it2 < rcfg.straggler_max_iters)
+
+        def inner_body(carry2):
+            rows, vr, it2 = carry2
+            rows, vr, _ = run_round(rows, vr, c_s, w_s, cap_s, 0)
+            return rows, vr, it2 + 1
+
+        rows, vr_total, it = jax.lax.while_loop(
+            inner_cond, inner_body, (rows, vr_total, it))
+        st = st.at[ids].set(rows)
         return st, vr_total, it + 1
 
     st, vr_total, sweep_iters = jax.lax.while_loop(
