@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--lr_fused", type=int, default=1,
                     help="LowRank fused nested-level evaluation (full-lane "
                          "bf16 matmuls); 0 restores per-level fp32")
+    ap.add_argument("--refresh_half", action="store_true", default=False,
+                    help="alternating even/odd-Morton half-dense occupancy "
+                         "refresh (halves the ~27 ms dense refresh)")
     ap.add_argument("--bf16", action="store_true", default=False,
                     help="bfloat16 matmul compute — measured 8x SLOWER than "
                          "fp32 on this encoder's shapes (VPU bf16 tiling of "
@@ -97,7 +100,7 @@ def main():
         s_max_test=256, test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
         lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=args.lr_k_max,
-        bf16=args.bf16,
+        bf16=args.bf16, refresh_half=args.refresh_half,
         s_flat=args.s_flat, lr_fused=bool(args.lr_fused))
 
     print(f"devices: {jax.devices()}", file=sys.stderr)

@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--eval_chunk", type=int, default=None,
                     help="override rcfg.eval_chunk (0 disables chunked "
                          "padded-round field eval)")
+    ap.add_argument("--straggler", type=str, default=None,
+                    help="override rcfg.straggler as 'capacity,window,cap' "
+                         "(sweep under the select-once sweep semantics)")
+    ap.add_argument("--lr_k_max", type=int, default=512,
+                    help="LowRank finest-level knots (field cost ~ K; the "
+                         "render-field-cost lever)")
     ap.add_argument("--no_prefix", action="store_true",
                     help="skip per-round prefix timing (each prefix is a "
                          "separate slow tunnel compile); report only the "
@@ -90,8 +96,8 @@ def main():
         rgb_layers=2, seed=1337, s_max_train=64, s_max_test=256,
         test_chunk=65536, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512, bf16=False,
-        s_flat=0, lr_fused=bool(args.lr_fused))
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=args.lr_k_max,
+        bf16=False, s_flat=0, lr_fused=bool(args.lr_fused))
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     scene = make_scene(n_train=16, n_test=1, wh=args.wh, seed=0)
@@ -136,6 +142,9 @@ def main():
         rcfg = dataclasses.replace(rcfg, T_threshold=args.t_threshold)
     if args.eval_chunk is not None:
         rcfg = dataclasses.replace(rcfg, eval_chunk=args.eval_chunk)
+    if args.straggler:
+        rcfg = dataclasses.replace(
+            rcfg, straggler=tuple(int(x) for x in args.straggler.split(",")))
 
     if args.field_probe:
         import functools

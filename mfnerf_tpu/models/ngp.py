@@ -409,7 +409,8 @@ class NGP:
 
     def update_density_grid(self, params, occ: OccupancyState, key,
                             density_threshold, warmup=False, decay=0.95,
-                            erode=False, sparse=False) -> OccupancyState:
+                            erode=False, sparse=False,
+                            half=None) -> OccupancyState:
         """Refresh the density grid from the live field and repack the
         bitfield. Parity: networks.py:242-271.
 
@@ -421,6 +422,13 @@ class NGP:
         MXU time and never misses a cell. ``sparse=True`` restores the
         reference's exact sampled semantics (inverse-CDF over the occupancy
         mask; kept for parity testing).
+
+        ``half`` in {0, 1}: evaluate only the even/odd-Morton half of each
+        cascade this refresh (alternate per refresh) — halves the dense
+        refresh's field cost. The skipped half decays by ``decay`` exactly
+        like the reference's UNSAMPLED cells do (networks.py:264 applies
+        max(grid*decay, 0) to every cell it didn't sample), so per-cell
+        refresh cadence lands close to the reference's stochastic one.
         """
         cfg = self.cfg
         n = cfg.n_cells
@@ -431,7 +439,14 @@ class NGP:
             return self.density(params, xyzs_w)
 
         tmp = jnp.zeros_like(grid)
-        if not sparse:  # dense refresh (warmup and TPU steady state)
+        if not sparse and half is not None:  # alternating half-dense refresh
+            idx = np.arange(int(half), n, 2, dtype=np.uint32)
+            coords = morton3d_invert(jnp.asarray(idx))
+            for c in range(cfg.cascades):
+                key, sub = jax.random.split(key)
+                sig = eval_cells(c, coords, sub)
+                tmp = tmp.at[c, int(half)::2].set(sig)
+        elif not sparse:  # dense refresh (warmup and TPU steady state)
             coords = self.all_cell_coords()
             for c in range(cfg.cascades):
                 key, sub = jax.random.split(key)

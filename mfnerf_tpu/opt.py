@@ -155,6 +155,11 @@ def get_opts(argv=None):
                              '8 = exact backward. Lower values cut the '
                              'scatter-add wall that dominates hash-family '
                              'training on TPU (docs/TPU_NOTES.md)')
+    parser.add_argument('--refresh_half', action='store_true', default=False,
+                        help='[tpu] occupancy refresh evaluates alternating '
+                             'even/odd-Morton cell halves (halves the dense '
+                             'refresh cost; the skipped half decays exactly '
+                             'like the reference\'s unsampled cells)')
     parser.add_argument('--grid_size', type=int, default=128,
                         help='[tpu] occupancy grid resolution (reference '
                              'fixes 128)')

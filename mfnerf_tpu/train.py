@@ -204,13 +204,13 @@ class NeRFSystem:
         self._train_step = jax.jit(self._train_step_fn,
                                    donate_argnums=(0, 1))
 
-        def update_grid(params, occ, key, warmup, erode):
+        def update_grid(params, occ, key, warmup, erode, half=None):
             return model.update_density_grid(
                 params, occ, key, self.density_threshold, warmup=warmup,
-                erode=erode)
+                erode=erode, half=half)
 
         self._update_grid_fn = update_grid
-        self._update_grid = jax.jit(update_grid, static_argnums=(3, 4),
+        self._update_grid = jax.jit(update_grid, static_argnums=(3, 4, 5),
                                     donate_argnums=(1,))
 
     def _make_train_step(self, rcfg, model, loss_mod, use_exposure,
@@ -332,29 +332,71 @@ class NeRFSystem:
             return jax.lax.fori_loop(
                 0, n, body, (params, opt_state, key, zero_metrics))
 
+        # alternating half-dense refresh (--refresh_half): halve the dense
+        # refresh's field cost by evaluating even-Morton cells one refresh,
+        # odd the next; the skipped half decays exactly like the reference's
+        # unsampled cells (ngp.update_density_grid). The parity must be a
+        # STATIC index (strided store), and a cond inside fori_loop may
+        # execute both branches (see train_block note), so blocks unroll in
+        # PAIRS; parity restarts per dispatch (a one-refresh cadence hiccup
+        # at chunk seams — cells only ever decay while skipped, never stale
+        # high).
+        refresh_half = getattr(self.hparams, "refresh_half", False)
+
         @partial(jax.jit, static_argnums=(8,), donate_argnums=(0, 1, 2))
         def run(params, opt_state, occ, poses, directions, rays, key, step0,
                 n_steps):
             n_blocks, tail = divmod(n_steps, UPDATE_INTERVAL)
 
-            def block(b, carry):
-                params, opt_state, occ, key, _ = carry
+            def upd_and_block(params, opt_state, occ, key, bstep, n, half):
                 key, k_up, k_blk = jax.random.split(key, 3)
-                occ = update_grid(params, occ, k_up, False, erode)
+                occ = update_grid(params, occ, k_up, False, erode, half)
                 params, opt_state, _, metrics = train_block(
                     params, opt_state, occ, poses, directions, rays, k_blk,
-                    step0 + b * UPDATE_INTERVAL, UPDATE_INTERVAL)
+                    bstep, n)
                 return params, opt_state, occ, key, metrics
+
+            if refresh_half:
+                n_pairs, odd = divmod(n_blocks, 2)
+
+                def pair(b, carry):
+                    params, opt_state, occ, key, _ = carry
+                    s0 = step0 + 2 * b * UPDATE_INTERVAL
+                    params, opt_state, occ, key, metrics = upd_and_block(
+                        params, opt_state, occ, key, s0, UPDATE_INTERVAL, 0)
+                    params, opt_state, occ, key, metrics = upd_and_block(
+                        params, opt_state, occ, key, s0 + UPDATE_INTERVAL,
+                        UPDATE_INTERVAL, 1)
+                    return params, opt_state, occ, key, metrics
+
+                params, opt_state, occ, key, metrics = jax.lax.fori_loop(
+                    0, n_pairs, pair,
+                    (params, opt_state, occ, key, zero_metrics))
+                if odd:
+                    params, opt_state, occ, key, metrics = upd_and_block(
+                        params, opt_state, occ, key,
+                        step0 + (n_blocks - 1) * UPDATE_INTERVAL,
+                        UPDATE_INTERVAL, 0)
+                if tail:
+                    params, opt_state, occ, key, metrics = upd_and_block(
+                        params, opt_state, occ, key,
+                        step0 + n_blocks * UPDATE_INTERVAL, tail,
+                        1 if odd else 0)
+                return params, opt_state, occ, metrics
+
+            def block(b, carry):
+                params, opt_state, occ, key, _ = carry
+                return upd_and_block(params, opt_state, occ, key,
+                                     step0 + b * UPDATE_INTERVAL,
+                                     UPDATE_INTERVAL, None)
 
             params, opt_state, occ, key, metrics = jax.lax.fori_loop(
                 0, n_blocks, block,
                 (params, opt_state, occ, key, zero_metrics))
             if tail:
-                key, k_up, k_blk = jax.random.split(key, 3)
-                occ = update_grid(params, occ, k_up, False, erode)
-                params, opt_state, _, metrics = train_block(
-                    params, opt_state, occ, poses, directions, rays, k_blk,
-                    step0 + n_blocks * UPDATE_INTERVAL, tail)
+                params, opt_state, occ, key, metrics = upd_and_block(
+                    params, opt_state, occ, key,
+                    step0 + n_blocks * UPDATE_INTERVAL, tail, None)
             return params, opt_state, occ, metrics
 
         return run

@@ -163,3 +163,30 @@ def test_coarse_bitfield_conservative():
     got = np.asarray(bitfield_lookup(
         coarse, jnp.asarray(parents, jnp.int32)))
     assert got.all()
+
+
+def test_half_refresh_skipped_cells_decay_exactly():
+    """half=0/1 refreshes only that Morton parity; the other half follows
+    the reference's unsampled-cell rule exactly: max(grid*decay, 0) ==
+    grid*decay for non-negative grids (networks.py:264)."""
+    import numpy as np
+    cfg = _tiny_cfg()
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    occ = OccupancyState.create(cfg)
+    # seed a non-trivial positive grid via one dense refresh
+    occ = model.update_density_grid(params, occ, jax.random.PRNGKey(1),
+                                    density_threshold=0.01, warmup=True)
+    g0 = np.asarray(occ.density_grid)
+    for half in (0, 1):
+        occ_h = model.update_density_grid(params, occ, jax.random.PRNGKey(2),
+                                          density_threshold=0.01, decay=0.5,
+                                          half=half)
+        g1 = np.asarray(occ_h.density_grid)
+        skipped = slice(1 - half, None, 2)
+        refreshed = slice(half, None, 2)
+        np.testing.assert_allclose(g1[:, skipped], 0.5 * g0[:, skipped],
+                                   rtol=1e-6)
+        assert (g1[:, refreshed] >= 0.5 * g0[:, refreshed] - 1e-6).all()
+        # refreshed half actually got fresh (different) values somewhere
+        assert np.abs(g1[:, refreshed] - 0.5 * g0[:, refreshed]).max() > 1e-4
