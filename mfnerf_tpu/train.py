@@ -114,12 +114,16 @@ class NeRFSystem:
                 # backward is ~34-50M random scatter-adds per step; a
                 # reference MF config ran 2587.6 ms/step vs 18.2 for LowRank
                 # (~142x) — a 30k-step quickstart would take ~21 HOURS.
+                hint = ("" if getattr(hparams, "hash_grad_samples", 8) < 8
+                        else " or --hash_grad_samples 1 to cut the backward"
+                             " scatter wall ~8x (unbiased sampled-corner"
+                             " gradient)")
                 print(
                     f"WARNING: --grid {hparams.grid} is gather/scatter-bound "
                     f"on TPU (measured ~142x slower per step than the "
                     f"TPU-native LowRank encoder; a 30k-step run takes hours,"
                     f" not minutes — docs/TPU_NOTES.md). Pass --grid LowRank "
-                    f"for the TPU fast path with comparable quality.",
+                    f"for the TPU fast path with comparable quality{hint}.",
                     file=sys.stderr)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
