@@ -61,7 +61,7 @@ def exposure_system():
     # colmap.py HDR dicts); white background at unit exposure
     train.unit_exposure_rgb = jnp.ones((1, 3))
 
-    hp = _hparams(use_exposure=True, steps_per_epoch=600)
+    hp = _hparams(use_exposure=True, steps_per_epoch=400)
     system = NeRFSystem(hp)
     system.setup(train, test)
     system.configure(jax.random.PRNGKey(0))
@@ -181,8 +181,8 @@ def test_optimize_ext_recovers_perturbed_poses():
     # the parity default pose lr (1e-6, reference train.py:139) moves dT by
     # ~6e-4 in 600 steps — unobservable against a 0.03 perturbation; use a
     # test-scale lr via the [tpu extra] --pose_lr flag
-    hp = _hparams(optimize_ext=True, steps_per_epoch=600, batch_size=2048,
-                  grid_size=32, max_samples=128, seed=7, pose_lr=1e-3)
+    hp = _hparams(optimize_ext=True, steps_per_epoch=300, batch_size=1024,
+                  grid_size=32, max_samples=128, seed=7, pose_lr=2e-3)
     system = NeRFSystem(hp)
     system.setup(train, test)
     system.configure(jax.random.PRNGKey(0))
