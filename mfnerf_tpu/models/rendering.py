@@ -10,11 +10,13 @@ render_test for the performance notes).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.composite import (composite_test_step, composite_test_step_flat,
                              composite_train, composite_train_flat,
@@ -803,6 +805,105 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
     rgb = rgb + rgb_bg * (1.0 - opacity)[:, None]
     # total_samples stays a device scalar: converting here would force a
     # sync per frame and defeat pipelined (multi-frame in flight) rendering
+    return {"rgb": rgb, "opacity": opacity, "depth": depth,
+            "total_samples": vr_total}
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_render_fn(model, rcfg: RenderConfig, mesh, img_wh,
+                       use_prepass, has_exposure):
+    """Build (and cache) the jitted shard_map'd frame renderer for a
+    (model, rcfg, mesh, resolution) combination."""
+    from jax.sharding import PartitionSpec as P
+    pd, pr = P("data"), P()
+
+    def local(params, occ, ro, rd, tn, tf, exposure):
+        rgb, op, de, vr = _render_test_alive(
+            model, params, occ, ro, rd, rcfg,
+            tn if use_prepass else None, tf if use_prepass else None,
+            exposure=exposure if has_exposure else None)
+        return rgb, op, de, vr.reshape(1)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pr, pr, pd, pd, pd if use_prepass else pr,
+                  pd if use_prepass else pr, pr),
+        out_specs=(pd, pd, pd, pd))
+
+    @jax.jit
+    def fn(params, occ, rays_o, rays_d, k_cam, pose, exposure):
+        if use_prepass:
+            # per-frame, not per-ray: run once, replicated, outside the
+            # shard_map; the resulting per-pixel ranges shard with the rays
+            t_near, t_far = rasterize_block_ranges(
+                model.cfg, occ.density_bitfield, k_cam, pose, img_wh)
+        else:
+            # _render_test_alive gets None ranges ("march from the AABB
+            # entry"); shard_map still needs array operands, so thread
+            # replicated dummies that ``local`` drops
+            t_near = t_far = jnp.zeros((1,), jnp.float32)
+        rgb, op, de, vr = smapped(params, occ, rays_o, rays_d,
+                                  t_near, t_far, exposure)
+        return rgb, op, de, vr.sum()
+
+    return fn
+
+
+def render_test_sharded(model, params, occ, rays_o, rays_d,
+                        rcfg: RenderConfig, mesh, camera=None,
+                        exposure=None):
+    """Multi-device test rendering: DP over the mesh's ``data`` axis.
+
+    Rendering is embarrassingly parallel over rays, so each device drains
+    its ray shard with the full single-device alive-ray pipeline
+    (_render_test_alive) locally — top_k compaction, completion sweep and
+    field evals all stay shard-local and NO collective runs in the hot
+    path; params and occupancy are replicated (same layout as DP
+    training, parallel/mesh.py). The rasterized prepass runs once,
+    replicated, outside the shard_map — it is per-frame, not per-ray.
+
+    This exceeds reference parity (test rendering there is single-GPU,
+    SURVEY §2.4): an N-chip mesh serves N× the frame rate or N× the
+    resolution at the single-chip latency. Output matches render_test up
+    to float tolerance (both are oracle-exact; only the top_k round
+    grouping differs). Rays are zero-padded to a multiple of the mesh
+    size and the padding is sliced off before returning.
+    """
+    ndev = int(np.prod(list(mesh.shape.values())))
+    n = rays_o.shape[0]
+    pad = (-n) % ndev
+    if pad:
+        rays_o = jnp.concatenate(
+            [rays_o, jnp.zeros((pad, 3), rays_o.dtype)])
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], rays_d.dtype), (pad, 3))])
+    use_prepass = (camera is not None and rcfg.exp_step_factor == 0
+                   and model.cfg.cascades == 1 and pad == 0)
+    if camera is not None:
+        k_cam, pose, img_wh = camera
+        k_cam = jnp.asarray(k_cam, jnp.float32)
+        pose = jnp.asarray(pose, jnp.float32)[:3, :4]
+        img_wh = (int(img_wh[0]), int(img_wh[1]))
+    else:
+        k_cam = pose = jnp.zeros((3, 4), jnp.float32)
+        img_wh = (0, 0)
+    has_exposure = exposure is not None
+    if has_exposure:
+        exposure = jnp.asarray(exposure, jnp.float32).reshape(1, 1)
+    else:
+        exposure = jnp.zeros((1, 1), jnp.float32)
+    fn = _sharded_render_fn(model, rcfg, mesh, img_wh if use_prepass
+                            else (0, 0), use_prepass, has_exposure)
+    rgb, opacity, depth, vr_total = fn(params, occ, rays_o, rays_d,
+                                       k_cam, pose, exposure)
+    if pad:
+        rgb, opacity, depth = rgb[:-pad], opacity[:-pad], depth[:-pad]
+    if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg
+        rgb_bg = jnp.ones(3)
+    else:
+        rgb_bg = jnp.zeros(3)
+    rgb = rgb + rgb_bg * (1.0 - opacity)[:, None]
     return {"rgb": rgb, "opacity": opacity, "depth": depth,
             "total_samples": vr_total}
 

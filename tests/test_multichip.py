@@ -96,6 +96,39 @@ def test_fused_runner_8dev_output_is_sharded_computation():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sharded_render_matches_single_device():
+    """DP test rendering (render_test_sharded): each device drains its ray
+    shard with the full alive-ray pipeline locally. Both the sharded and
+    the single-device renderer are completion-guaranteed (the sweep), so
+    they must agree to float tolerance — only the top_k round grouping
+    differs. Exceeds reference parity (single-GPU rendering there)."""
+    import sys as _s
+    import os as _o
+    _s.path.insert(0, _o.path.dirname(_o.path.abspath(__file__)))
+    from test_alive_renderer import _setup
+
+    from mfnerf_tpu.models.rendering import (RenderConfig, render_test,
+                                             render_test_sharded)
+
+    assert len(jax.devices()) >= 8
+    model, params, occ, rays_o, rays_d = _setup()
+    mesh = make_mesh(8)
+    rcfg = RenderConfig(max_samples=128, s_max_test=256, test_chunk=512)
+    ref = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    for n in (512, 509):  # even split and a padded ragged tail
+        out = render_test_sharded(model, params, occ, rays_o[:n],
+                                  rays_d[:n], rcfg, mesh)
+        np.testing.assert_allclose(np.asarray(out["rgb"]),
+                                   np.asarray(ref["rgb"])[:n], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["opacity"]),
+                                   np.asarray(ref["opacity"])[:n],
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["depth"]),
+                                   np.asarray(ref["depth"])[:n], atol=2e-3)
+        rgb_leaf = out["rgb"]
+        assert len(rgb_leaf.sharding.device_set) == 8
+
+
 def test_allgather_ragged_with_faked_processes():
     """Multi-host validation metric gather (train.py allgather_ragged):
     ragged per-rank lists -> padded NaN rows -> gathered -> unpadded. The
