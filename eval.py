@@ -48,6 +48,9 @@ def main():
     system = NeRFSystem(hparams)
     system.rcfg = dataclasses.replace(system.rcfg,
                                       T_threshold=extra_args.t_threshold)
+    # --num_gpus > 1: DP rendering, rays sharded over the device mesh
+    # (models/rendering.render_test_sharded)
+    mesh = system.mesh if getattr(hparams, "num_gpus", 1) > 1 else None
     dataset = dataset_dict[hparams.dataset_name](
         root_dir=hparams.root_dir, split="test",
         downsample=hparams.downsample)
@@ -73,10 +76,16 @@ def main():
         batch = dataset[i]
         rays_o, rays_d = get_rays(directions, jnp.asarray(batch["pose"]))
         t0 = time.perf_counter()
-        res = render_test(system.model, params, occ, rays_o, rays_d,
-                          system.rcfg,
-                          camera=(dataset.K, batch["pose"], dataset.img_wh),
-                          guided=extra_args.guided)
+        if mesh is not None:
+            from mfnerf_tpu.models.rendering import render_test_sharded
+            res = render_test_sharded(
+                system.model, params, occ, rays_o, rays_d, system.rcfg,
+                mesh, camera=(dataset.K, batch["pose"], dataset.img_wh))
+        else:
+            res = render_test(
+                system.model, params, occ, rays_o, rays_d, system.rcfg,
+                camera=(dataset.K, batch["pose"], dataset.img_wh),
+                guided=extra_args.guided)
         # device_get of a derived scalar: block_until_ready can return
         # before execution finishes over the tunnel (docs/TPU_NOTES.md)
         float(jax.device_get(res["rgb"].sum()))

@@ -521,13 +521,26 @@ class NeRFSystem:
             rays_o, rays_d = get_rays(
                 jnp.asarray(self.test_dataset.directions),
                 jnp.asarray(batch["pose"]))
-            results = render_test(
-                self.model, self.params, self.occ, rays_o, rays_d, self.rcfg,
-                camera=(self.test_dataset.K, batch["pose"],
-                        self.test_dataset.img_wh),
-                # HDR-NeRF: test renders use the image's exposure
-                # (reference train.py:102-103)
-                exposure=batch.get("exposure"))
+            if self.mesh is not None and jax.process_count() == 1:
+                # DP rendering: rays shard over the mesh devices. Multi-host
+                # keeps the per-process round-robin above instead (the mesh
+                # spans remote chips this process's host arrays can't feed).
+                from .models.rendering import render_test_sharded
+                results = render_test_sharded(
+                    self.model, self.params, self.occ, rays_o, rays_d,
+                    self.rcfg, self.mesh,
+                    camera=(self.test_dataset.K, batch["pose"],
+                            self.test_dataset.img_wh),
+                    exposure=batch.get("exposure"))
+            else:
+                results = render_test(
+                    self.model, self.params, self.occ, rays_o, rays_d,
+                    self.rcfg,
+                    camera=(self.test_dataset.K, batch["pose"],
+                            self.test_dataset.img_wh),
+                    # HDR-NeRF: test renders use the image's exposure
+                    # (reference train.py:102-103)
+                    exposure=batch.get("exposure"))
             rgb_pred = np.asarray(results["rgb"]).reshape(h, w, 3)
             logs = {}
             if "rgb" in batch:
