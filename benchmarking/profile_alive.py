@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--eval_chunk", type=int, default=None,
                     help="override rcfg.eval_chunk (0 disables chunked "
                          "padded-round field eval)")
+    ap.add_argument("--straggler2", type=str, default=None,
+                    help="tail sweep stage as 'capacity,window,cap' "
+                         "(rcfg.straggler2; 'none' clears it)")
     ap.add_argument("--straggler", type=str, default=None,
                     help="override rcfg.straggler as 'capacity,window,cap' "
                          "(sweep under the select-once sweep semantics)")
@@ -145,6 +148,10 @@ def main():
     if args.straggler:
         rcfg = dataclasses.replace(
             rcfg, straggler=tuple(int(x) for x in args.straggler.split(",")))
+    if args.straggler2:
+        rcfg = dataclasses.replace(
+            rcfg, straggler2=None if args.straggler2.lower() == "none"
+            else tuple(int(x) for x in args.straggler2.split(",")))
 
     if args.field_probe:
         import functools

@@ -101,6 +101,12 @@ class RenderConfig:
     # schedules are throughput tuning, this is the correctness guarantee
     straggler: tuple = (49152, 512, 32)
     straggler_max_iters: int = 512   # safety bound (progress is guaranteed)
+    # optional small-capacity TAIL stage (capacity, window, cap): when set,
+    # the main sweep stops once <= its capacity rays remain and this stage
+    # drains the tail — late sweep iterations otherwise pay the full
+    # (capacity x cap) padded field eval for a handful of alive rays.
+    # None keeps the single-stage sweep.
+    straggler2: Optional[tuple] = None
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -638,41 +644,58 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     # ray strictly advances its cursor, so <= ceil(n/c) * ceil(k_total/w)
     # iterations terminate. The zero-straggler case costs one top_k +
     # predicate per frame.
-    c_s, w_s, cap_s = rcfg.straggler
-    c_s = min(c_s, n)
-    w_s = min(w_s, k_total)
+    def run_sweep(st, vr_total, stage, stop_at):
+        """Drive alive rays down to ``stop_at`` with fixed-shape rounds of
+        ``stage`` = (capacity, window, cap). Select ONCE per outer
+        iteration: no ray returns to life after the static rounds, so the
+        chosen sub-array can be driven to completion without re-paying
+        top_k over the frame + full-row gather/scatter (~3 ms/iteration at
+        640k rays) every window. The inner loop keeps a STALE alive count
+        for the un-selected remainder (= total - selected-at-entry), so its
+        exit test only fires when the selected rows are done; the outer
+        loop re-selects while more than max(stop_at, 0) rays remain."""
+        c_s, w_s, cap_s = stage
+        c_s = min(c_s, n)
+        w_s = min(w_s, k_total)
 
-    def sweep_cond(carry):
-        st, vr_total, it = carry
-        return (jnp.sum(st[:, AL]) > 0) & (it < rcfg.straggler_max_iters)
+        def sweep_cond(carry):
+            st, vr_total, it = carry
+            return (jnp.sum(st[:, AL]) > stop_at) \
+                & (it < rcfg.straggler_max_iters)
 
-    def sweep_body(carry):
-        st, vr_total, it = carry
-        # select ONCE per outer iteration: no ray returns to life after the
-        # static rounds, so the chosen sub-array can be driven to completion
-        # without re-paying top_k over the frame + full-row gather/scatter
-        # (~3 ms/iteration at 640k rays) every window. The outer loop only
-        # re-selects when more than c_s rays survived the schedule.
-        _, ids = jax.lax.top_k(st[:, AL], c_s)
-        rows = st[ids]
+        def sweep_body(carry):
+            st, vr_total, it = carry
+            _, ids = jax.lax.top_k(st[:, AL], c_s)
+            rows = st[ids]
 
-        def inner_cond(carry2):
-            rows, vr, it2 = carry2
-            return (jnp.sum(rows[:, AL]) > 0) \
-                & (it2 < rcfg.straggler_max_iters)
+            def inner_cond(carry2):
+                rows, vr, it2 = carry2
+                return (jnp.sum(rows[:, AL]) > 0) \
+                    & (it2 < rcfg.straggler_max_iters)
 
-        def inner_body(carry2):
-            rows, vr, it2 = carry2
-            rows, vr, _ = run_round(rows, vr, c_s, w_s, cap_s, 0)
-            return rows, vr, it2 + 1
+            def inner_body(carry2):
+                rows, vr, it2 = carry2
+                rows, vr, _ = run_round(rows, vr, c_s, w_s, cap_s, 0)
+                return rows, vr, it2 + 1
 
-        rows, vr_total, it = jax.lax.while_loop(
-            inner_cond, inner_body, (rows, vr_total, it))
-        st = st.at[ids].set(rows)
-        return st, vr_total, it + 1
+            rows, vr_total, it = jax.lax.while_loop(
+                inner_cond, inner_body, (rows, vr_total, it))
+            st = st.at[ids].set(rows)
+            return st, vr_total, it + 1
 
-    st, vr_total, sweep_iters = jax.lax.while_loop(
-        sweep_cond, sweep_body, (st, vr_total, jnp.int32(0)))
+        st, vr_total, _ = jax.lax.while_loop(
+            sweep_cond, sweep_body, (st, vr_total, jnp.int32(0)))
+        return st, vr_total
+
+    if rcfg.straggler2 is not None:
+        # two-stage: the main sweep hands the tail (<= stage-2 capacity
+        # alive rays) to a smaller-shape stage — late iterations of a big
+        # sweep otherwise field-eval a mostly-dead padded block
+        st, vr_total = run_sweep(st, vr_total, rcfg.straggler,
+                                 jnp.int32(min(rcfg.straggler2[0], n)))
+        st, vr_total = run_sweep(st, vr_total, rcfg.straggler2, jnp.int32(0))
+    else:
+        st, vr_total = run_sweep(st, vr_total, rcfg.straggler, jnp.int32(0))
 
     rgb = st[:, RGB]
     opacity = st[:, OP]

@@ -182,6 +182,26 @@ def test_starving_schedule_completes_via_sweep():
                                np.asarray(res_dense["opacity"]), atol=2e-3)
 
 
+def test_two_stage_sweep_completes_like_single_stage():
+    """straggler2 (small-capacity tail stage) must not change the image:
+    the main sweep stops at <= straggler2-capacity alive rays and the tail
+    stage drains the rest. Same starving schedule as above, so completion
+    rests entirely on the two sweep stages."""
+    import dataclasses
+    model, params, occ, rays_o, rays_d = _setup()
+    rcfg = RenderConfig(
+        max_samples=128, s_max_test=256, test_chunk=512,
+        rounds=((0.02, 32, 4),), rounds_full=((0.02, 32, 4),),
+        straggler=(128, 64, 16), straggler2=(16, 128, 8))
+    res_alive = render_test(model, params, occ, rays_o, rays_d, rcfg)
+    res_dense = render_test_dense(model, params, occ, rays_o, rays_d,
+                                  dataclasses.replace(rcfg, straggler2=None))
+    np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
+                               np.asarray(res_dense["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res_alive["opacity"]),
+                               np.asarray(res_dense["opacity"]), atol=2e-3)
+
+
 def test_chunked_padded_eval_matches_unchunked():
     # eval_chunk splits each padded round's field eval into sequential
     # lax.map chunks (HBM bound on the transient hat basis). Force a tiny
