@@ -107,6 +107,15 @@ class RenderConfig:
     # (capacity x cap) padded field eval for a handful of alive rays.
     # None keeps the single-stage sweep.
     straggler2: Optional[tuple] = None
+    # WAVEFRONT renderer (pool, seek_window, window, cap): replaces the
+    # round schedule + sweep with a persistent compacted ray pool — dead
+    # slots refill from the frame's ray queue each iteration, so the
+    # per-iteration selection/state machinery runs at POOL scale (~65k
+    # rows) instead of frame scale (640k), and completion is structural
+    # (the loop runs until the queue is drained and the pool is dead).
+    # None keeps the round-schedule renderer. See _render_test_wavefront.
+    wavefront: Optional[tuple] = None
+    wavefront_max_iters: int = 4096  # safety bound (progress is guaranteed)
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -380,6 +389,28 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
     return near_pix.reshape(-1), far_pix.reshape(-1)
 
 
+def _eval_field_padded(model, params, xyz_flat, dir_flat, eval_chunk,
+                       exposure=None):
+    """Field eval on a flat slot array, optionally as sequential lax.map
+    chunks: XLA materializes the (slots, K_pad) hat basis before its
+    matmul, so an unchunked eval beyond ~4M slots (~5 GB) OOMs HBM."""
+    n_slots = xyz_flat.shape[0]
+    if eval_chunk and n_slots > eval_chunk:
+        n_ch = -(-n_slots // eval_chunk)
+        pad = n_ch * eval_chunk - n_slots
+        xyz_c = jnp.concatenate(
+            [xyz_flat, jnp.zeros((pad, 3), xyz_flat.dtype)]
+        ).reshape(n_ch, eval_chunk, 3)
+        dir_c = jnp.concatenate(
+            [dir_flat, jnp.ones((pad, 3), dir_flat.dtype)]
+        ).reshape(n_ch, eval_chunk, 3)
+        sigmas, rgbs = jax.lax.map(
+            lambda xd: model(params, xd[0], xd[1], exposure=exposure),
+            (xyz_c, dir_c))
+        return sigmas.reshape(-1)[:n_slots], rgbs.reshape(-1, 3)[:n_slots]
+    return model(params, xyz_flat, dir_flat, exposure=exposure)
+
+
 @partial(jax.jit, static_argnums=(0, 5, 8))
 def _render_test_alive(model, params, occ, rays_o, rays_d,
                        rcfg: RenderConfig, t_near=None, t_far=None,
@@ -568,26 +599,9 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             xyz_flat = mr.xyzs.reshape(c * s_cap, 3)
             dir_flat = jnp.broadcast_to(rd[:, None, :],
                                         (c, s_cap, 3)).reshape(-1, 3)
-            n_slots = c * s_cap
-            if rcfg.eval_chunk and n_slots > rcfg.eval_chunk:
-                # sequential chunks bound the transient (slots, K_pad) hat
-                # basis XLA materializes per matmul — see eval_chunk above
-                n_ch = -(-n_slots // rcfg.eval_chunk)
-                pad = n_ch * rcfg.eval_chunk - n_slots
-                xyz_c = jnp.concatenate(
-                    [xyz_flat, jnp.zeros((pad, 3), xyz_flat.dtype)]
-                ).reshape(n_ch, rcfg.eval_chunk, 3)
-                dir_c = jnp.concatenate(
-                    [dir_flat, jnp.ones((pad, 3), dir_flat.dtype)]
-                ).reshape(n_ch, rcfg.eval_chunk, 3)
-                sigmas, rgbs = jax.lax.map(
-                    lambda xd: model(params, xd[0], xd[1],
-                                     exposure=exposure), (xyz_c, dir_c))
-                sigmas = sigmas.reshape(-1)[:n_slots]
-                rgbs = rgbs.reshape(-1, 3)[:n_slots]
-            else:
-                sigmas, rgbs = model(params, xyz_flat, dir_flat,
-                                     exposure=exposure)
+            sigmas, rgbs = _eval_field_padded(model, params, xyz_flat,
+                                              dir_flat, rcfg.eval_chunk,
+                                              exposure=exposure)
             sigmas = jnp.where(mr.mask.reshape(-1), sigmas,
                                0.0).reshape(c, s_cap)
             rgbs = rgbs.reshape(c, s_cap, 3)
@@ -705,6 +719,182 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
     return rgb, opacity, depth, vr_total
 
 
+@partial(jax.jit, static_argnums=(0, 5))
+def _render_test_wavefront(model, params, occ, rays_o, rays_d,
+                           rcfg: RenderConfig, t_near=None, t_far=None,
+                           exposure=None):
+    """Persistent-pool ("wavefront") test renderer — one while_loop.
+
+    The round-schedule renderer's per-round machinery (top_k + packed-row
+    gather/scatter) runs at FRAME scale: ~17.5 ms per round at 640k rays
+    (docs/TPU_NOTES.md), a floor no schedule tuning can cross. This
+    formulation is the XLA analogue of a GPU persistent-megakernel ray
+    queue: a compacted pool of P rows marches/evaluates/composites every
+    iteration, finished rows scatter their pixel and REFILL from the
+    frame's ray queue via prefix-sum ranks — so selection and state
+    movement cost O(P), not O(n), and the padded field eval runs at pool
+    fill. Completion is structural: the loop exits when the queue is
+    drained and no pool row is alive (every alive row strictly advances
+    its cursor per iteration, so progress is guaranteed; a static
+    iteration bound backstops it). Output is oracle-exact — same ladder,
+    same T-threshold semantics, no capacity starvation possible.
+
+    rcfg.wavefront = (P, seek_window, window, cap):
+        P           pool rows (clamped to the ray count)
+        seek_window field-free coarse-seek rungs per iteration (0 skips
+                    the seek phase; ignored without a coarse structure)
+        window      content-march rungs per iteration
+        cap         per-row sample cap per iteration (pool x cap slots)
+    """
+    cfg = model.cfg
+    n = rays_o.shape[0]
+    hits_t = ray_aabb_intersect_single(
+        rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale))
+    hits_t = _clamp_near(hits_t)
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    valid = t1 >= 0
+    t_start = jnp.where(valid, t1, 0.0)
+    t2 = jnp.where(valid, t2, -1.0)
+    k_total = rcfg.n_rungs(cfg.scale, cfg.grid_size, test=True)
+    dt_scale = rcfg._dt_scale(cfg.scale, True)
+
+    cursor0 = jnp.zeros((n,), jnp.float32)
+    if t_near is not None and rcfg.exp_step_factor == 0:
+        dt_min = SQRT3 / rcfg.max_samples
+        cursor0 = jnp.clip(jnp.ceil((t_near - t_start) / dt_min), 0, k_total)
+        t2 = jnp.minimum(t2, t_far)
+        valid = valid & (t_near < t2)
+
+    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                               cfg.scale, cfg.grid_size, cfg.cascades)
+    c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
+                                    cfg.cascades)
+
+    P, w_seek, w_len, s_cap = rcfg.wavefront
+    P = min(P, n)
+    w_seek = min(w_seek, k_total) if (stratum or c_stratum) else 0
+    w_len = min(w_len, k_total)
+
+    # queue: valid rays first (top_k on the flags is stable, so queue order
+    # is image order within each class); invalid rays never enter the pool
+    _, qids = jax.lax.top_k(valid.astype(jnp.float32), n)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # one packed queue row per ray: o(3) d(3) ts t2 cur0 -> one row gather
+    # per refill moves everything a fresh pool row needs
+    queue = jnp.concatenate([
+        rays_o, rays_d, t_start[:, None], t2[:, None], cursor0[:, None]],
+        axis=1)[qids]
+
+    # pool rows: the alive renderer's packed state + the ray's pixel id
+    O, D, TS, T2, CU, OP, DE = slice(0, 3), slice(3, 6), 6, 7, 8, 9, 10
+    RGB, AL, PIX = slice(11, 14), 14, 15
+
+    def fresh_rows(idx_q, take):
+        """Pool rows for queue positions idx_q; ``take`` masks real slots
+        (False rows come back dead with an out-of-range pixel id)."""
+        qrow = queue[jnp.clip(idx_q, 0, n - 1)]
+        pix = jnp.where(take, qids[jnp.clip(idx_q, 0, n - 1)], n)
+        alive = take  # queue holds only valid rays in [0, n_valid)
+        z = jnp.zeros((idx_q.shape[0],), jnp.float32)
+        return jnp.concatenate([
+            qrow,                                       # o, d, ts, t2, cur
+            z[:, None], z[:, None], jnp.zeros((idx_q.shape[0], 3)),
+            alive.astype(jnp.float32)[:, None],
+            pix.astype(jnp.float32)[:, None]], axis=1)
+
+    pool0 = fresh_rows(jnp.arange(P, dtype=jnp.int32),
+                       jnp.arange(P) < n_valid)
+    out0 = jnp.zeros((n, 5), jnp.float32)  # rgb, opacity, depth
+    q0 = jnp.minimum(jnp.int32(P), n_valid)
+
+    def cond(carry):
+        pool, out, q, vr, it = carry
+        return ((jnp.sum(pool[:, AL]) > 0) | (q < n_valid)) \
+            & (it < rcfg.wavefront_max_iters)
+
+    def body(carry):
+        pool, out, q, vr, it = carry
+        ro, rd = pool[:, O], pool[:, D]
+        ts0, t2_r = pool[:, TS], pool[:, T2]
+        cur = pool[:, CU].astype(jnp.int32)
+        alive_r = pool[:, AL] > 0.5
+
+        if w_seek:
+            # field-free empty-space seek (idempotent at content)
+            if stratum:
+                cur_s, _, exh_s = march_seek_twolevel(
+                    ro, rd, ts0, t2_r, cur, occ.coarse_nbr, cfg.scale,
+                    rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                    w_seek, stratum)
+            else:
+                cur_s, _, exh_s = march_seek_cascades(
+                    ro, rd, ts0, t2_r, cur, occ.union_bits, cfg.scale,
+                    rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                    w_seek, c_stratum, dt_scale=dt_scale)
+            cur = jnp.where(alive_r, cur_s, cur)
+            alive_r = alive_r & jnp.logical_not(exh_s) & (cur < k_total)
+
+        if stratum:
+            mr = march_rays_window_twolevel(
+                ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
+                cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+                rcfg.max_samples, w_len, s_cap, stratum)
+        elif c_stratum:
+            mr = march_rays_window_cascades(
+                ro, rd, ts0, t2_r, cur, occ.density_bitfield,
+                occ.union_bits, cfg.cascades, cfg.scale,
+                rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
+                w_len, s_cap, c_stratum, dt_scale=dt_scale)
+        else:
+            mr = march_rays_window(
+                ro, rd, ts0, t2_r, cur, occ.density_bitfield, cfg.cascades,
+                cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
+                rcfg.max_samples, w_len, s_cap, dt_scale=dt_scale)
+
+        xyz_flat = mr.xyzs.reshape(P * s_cap, 3)
+        dir_flat = jnp.broadcast_to(rd[:, None, :],
+                                    (P, s_cap, 3)).reshape(-1, 3)
+        sigmas, rgbs = _eval_field_padded(model, params, xyz_flat, dir_flat,
+                                          rcfg.eval_chunk, exposure=exposure)
+        sigmas = jnp.where(mr.mask.reshape(-1), sigmas, 0.0).reshape(P, s_cap)
+        rgbs = rgbs.reshape(P, s_cap, 3)
+        op_s, dep_s, rgb_s, alive_s = composite_test_step(
+            sigmas, rgbs, mr.deltas, mr.ts, mr.mask,
+            pool[:, OP], pool[:, DE], pool[:, RGB], alive_r,
+            rcfg.T_threshold)
+        alive_s = alive_s & jnp.logical_not(mr.exhausted) \
+            & (mr.cursor < k_total)
+        vr = vr + jnp.sum(jnp.where(alive_r, mr.n_samples, 0))
+
+        # every row scatters its (rgb, opacity, depth) to its pixel each
+        # iteration: retired rows freeze their final value, live rows are
+        # overwritten later — idempotent, no per-row retirement bookkeeping.
+        # Hole/padding rows carry pix == n and drop.
+        pix = pool[:, PIX].astype(jnp.int32)
+        out = out.at[pix].set(
+            jnp.concatenate([rgb_s, op_s[:, None], dep_s[:, None]], axis=1),
+            mode="drop")
+
+        # refill dead slots from the queue via prefix-sum ranks
+        dead = jnp.logical_not(alive_s)
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+        idx_q = q + rank
+        take = dead & (idx_q < n_valid)
+        fresh = fresh_rows(idx_q, take)
+        upd = jnp.concatenate([
+            ro, rd, ts0[:, None], t2_r[:, None],
+            mr.cursor.astype(jnp.float32)[:, None], op_s[:, None],
+            dep_s[:, None], rgb_s, alive_s.astype(jnp.float32)[:, None],
+            pool[:, PIX][:, None]], axis=1)
+        pool = jnp.where(take[:, None], fresh, upd)
+        q = q + jnp.sum(take.astype(jnp.int32))
+        return pool, out, q, vr, it + 1
+
+    pool, out, q, vr_total, _ = jax.lax.while_loop(
+        cond, body, (pool0, out0, q0, jnp.int32(0), jnp.int32(0)))
+    return out[:, :3], out[:, 3], out[:, 4], vr_total
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _guided_ranges(depth_lo, opacity_lo, t_near, t_far, img_wh, stride,
                    margin):
@@ -777,7 +967,9 @@ def _render_frame(model, params, occ, rcfg: RenderConfig, rays_o, rays_d,
         t_near, t_far = _guided_ranges(de_lo, op_lo, t_near, t_far,
                                        (w, h), s, margin)
         rcfg = dataclasses.replace(rcfg, rounds=rcfg.rounds_guided)
-    rgb, opacity, depth, vr = _render_test_alive(
+    render = (_render_test_wavefront if rcfg.wavefront is not None
+              else _render_test_alive)
+    rgb, opacity, depth, vr = render(
         model, params, occ, rays_o, rays_d, rcfg, t_near, t_far,
         exposure=exposure)
     return rgb, opacity, depth, vr + vr_lo
@@ -818,7 +1010,9 @@ def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
             (int(img_wh[0]), int(img_wh[1])), bool(guided),
             exposure=exposure)
     else:
-        rgb, opacity, depth, vr_total = _render_test_alive(
+        render = (_render_test_wavefront if rcfg.wavefront is not None
+                  else _render_test_alive)
+        rgb, opacity, depth, vr_total = render(
             model, params, occ, rays_o, rays_d, rcfg, None, None,
             exposure=exposure)
     if rcfg.exp_step_factor == 0:  # synthetic: white bg; real: black bg

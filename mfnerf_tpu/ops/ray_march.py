@@ -625,7 +625,14 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
     nxyz_f = nxyz_f.reshape(c, s_strata, stratum, 3)
     occ = neighborhood_lookup(fine_nbr, nxyz_f.min(axis=2), nxyz_f,
                               grid_size).reshape(c, s_strata * stratum)
-    occ = occ & (ts_all < t2[:, None]) & jnp.repeat(sel_mask, stratum, axis=1)
+    # clamp emissions to the window: a selected stratum whose tail crosses
+    # cursor + n_window would otherwise emit rungs the resumed cursor
+    # (cursor + n_window) re-tests next window — double-composited samples
+    # whenever stratum does not divide n_window (the cascades twin at :488
+    # had this gate; this one did not)
+    occ = (occ & (ts_all < t2[:, None])
+           & jnp.repeat(sel_mask, stratum, axis=1)
+           & (ks < cursor[:, None] + n_window))
 
     csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)
     n_found = csum[:, -1]

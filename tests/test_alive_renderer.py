@@ -202,6 +202,31 @@ def test_two_stage_sweep_completes_like_single_stage():
                                np.asarray(res_dense["opacity"]), atol=2e-3)
 
 
+def test_wavefront_matches_dense_oracle():
+    """Persistent-pool (wavefront) renderer vs the dense oracle: refill
+    from the ray queue + structural completion must reproduce the oracle
+    exactly at ANY pool/window/cap — including a pool smaller than the
+    frame, a window that is not a multiple of the coarse stratum, and a
+    disabled seek phase."""
+    import dataclasses
+    for fill in (0x33, 0x01):
+        model, params, occ, rays_o, rays_d = _setup(occ_fill=fill)
+        rcfg0 = RenderConfig(max_samples=128, s_max_test=256,
+                             test_chunk=512)
+        dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg0)
+        for wf in ((64, 32, 32, 8), (17, 16, 16, 4), (128, 0, 64, 16)):
+            rcfg = dataclasses.replace(rcfg0, wavefront=wf)
+            res = render_test(model, params, occ, rays_o, rays_d, rcfg)
+            np.testing.assert_allclose(np.asarray(res["rgb"]),
+                                       np.asarray(dense["rgb"]), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(res["opacity"]),
+                                       np.asarray(dense["opacity"]),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(res["depth"]),
+                                       np.asarray(dense["depth"]),
+                                       atol=2e-3)
+
+
 def test_chunked_padded_eval_matches_unchunked():
     # eval_chunk splits each padded round's field eval into sequential
     # lax.map chunks (HBM bound on the transient hat basis). Force a tiny

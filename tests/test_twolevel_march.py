@@ -110,3 +110,69 @@ def test_twolevel_budget_truncation_is_ordered_subsequence():
         if len(a) and len(b):
             d = np.abs(a[:, None] - b[None, :]).min(axis=1)
             np.testing.assert_array_less(d, 1e-5)
+
+
+def test_window_march_indivisible_window_never_reemits():
+    """Windowed two-level march with a window NOT a multiple of the stratum:
+    walking the full ladder window-by-window must emit each rung at most
+    once and the union must equal the one-level sample set. Regression for
+    the selected-stratum-tail overlap (a stratum crossing cursor+n_window
+    emitted rungs the resumed cursor re-tested — double-composited samples;
+    the quickstart config has stratum 18 with windows 48/64/96/..., so the
+    synthetic alive renderer was exposed)."""
+    from mfnerf_tpu.ops.ray_march import march_rays_window_twolevel
+
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(0.05)
+    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    assert stratum not in (0, 1)
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    t1 = jnp.maximum(hits_t[:, 0], 0.01)
+    valid = hits_t[:, 0] >= 0
+    ts0 = jnp.where(valid, t1, 0.0)
+    t2 = jnp.where(valid, hits_t[:, 1], -1.0)
+
+    for w, cap in ((16, 4), (stratum + 1, 6), (3 * stratum - 1, 8)):
+        cur = jnp.zeros((rays_o.shape[0],), jnp.int32)
+        emitted = [[] for _ in range(rays_o.shape[0])]
+        for _ in range(400):
+            mr = march_rays_window_twolevel(
+                rays_o, rays_d, ts0, t2, cur, fine_nbr, coarse_nbr, SCALE,
+                0.0, GRID, MAX_SAMPLES, w, cap, stratum)
+            kk, m = np.asarray(mr.k_idx), np.asarray(mr.mask)
+            for i in range(rays_o.shape[0]):
+                emitted[i].extend(kk[i][m[i]].tolist())
+            done = np.asarray(mr.exhausted) | (np.asarray(mr.cursor) >= k)
+            cur = jnp.where(done, k, mr.cursor).astype(jnp.int32)
+            if bool(done.all()):
+                break
+        for i in range(rays_o.shape[0]):
+            assert len(set(emitted[i])) == len(emitted[i]), \
+                f"w={w}: ray {i} re-emitted rungs"
+
+    # union equals the exact one-level set (generous cap, one window cfg)
+    one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
+                           0.0, GRID, MAX_SAMPLES, jnp.zeros_like(noise),
+                           k, 64)
+    n1 = np.asarray(one.n_samples)
+    k1 = np.asarray(one.k_idx)
+    cur = jnp.zeros((rays_o.shape[0],), jnp.int32)
+    emitted = [[] for _ in range(rays_o.shape[0])]
+    for _ in range(400):
+        mr = march_rays_window_twolevel(
+            rays_o, rays_d, ts0, t2, cur, fine_nbr, coarse_nbr, SCALE,
+            0.0, GRID, MAX_SAMPLES, 2 * stratum - 1, 16, stratum)
+        kk, m = np.asarray(mr.k_idx), np.asarray(mr.mask)
+        for i in range(rays_o.shape[0]):
+            emitted[i].extend(kk[i][m[i]].tolist())
+        done = np.asarray(mr.exhausted) | (np.asarray(mr.cursor) >= k)
+        cur = jnp.where(done, k, mr.cursor).astype(jnp.int32)
+        if bool(done.all()):
+            break
+    for i in range(rays_o.shape[0]):
+        got = sorted(emitted[i])
+        want = sorted(k1[i, :n1[i]].tolist())
+        # windowed emissions may exceed the one-level s_max budget cap;
+        # require the one-level set to be a prefix-subset of the union
+        assert set(want) <= set(got), f"ray {i} missing rungs"
