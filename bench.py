@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--fps_guided", action="store_true",
                     help="also measure the (opt-in, GUI-oriented) "
                          "depth-guided two-pass renderer")
+    ap.add_argument("--fps_wavefront", type=str, default=None,
+                    help="render FPS via the persistent-pool wavefront "
+                         "renderer: 'P,seek,window,cap' (e.g. '65536,64,"
+                         "32,16'); 'none' forces the round-schedule "
+                         "renderer. Default: RenderConfig default")
     ap.add_argument("--fps_t_threshold", type=float, default=1e-2,
                     help="transmittance kill threshold for the FPS "
                          "measurement. The reference's published FPS "
@@ -194,6 +199,10 @@ def main():
         from mfnerf_tpu.models.rendering import render_test
         fps_rcfg = dataclasses.replace(
             system.rcfg, T_threshold=args.fps_t_threshold)
+        if args.fps_wavefront:
+            wf = (None if args.fps_wavefront.lower() == "none" else
+                  tuple(int(x) for x in args.fps_wavefront.split(",")))
+            fps_rcfg = dataclasses.replace(fps_rcfg, wavefront=wf)
         # a ring of DISTINCT poses: identical dispatches are memoized by the
         # tunnel server (docs/TPU_NOTES.md), and distinct frames are what a
         # real orbit/GUI renders
@@ -260,7 +269,8 @@ def main():
         "vs_baseline": round(rays_per_sec / baseline, 4),
         **({"fps_800": round(fps_pipelined, 2),
             "fps_vs_baseline": round(fps_pipelined / fps_baseline, 4),
-            "fps_t_threshold": args.fps_t_threshold}
+            "fps_t_threshold": args.fps_t_threshold,
+            "fps_wavefront": args.fps_wavefront}
            if fps_pipelined is not None else {}),
         "config": {
             "grid": args.grid, "s_flat": args.s_flat,

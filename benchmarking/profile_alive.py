@@ -27,6 +27,51 @@ def _sync(x):
     import jax.numpy as _jnp
     return float(jax.device_get(_jnp.asarray(x).sum()))
 
+def _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
+                      t_near, t_far):
+    """Time the persistent-pool wavefront renderer per config; PSNR is
+    always measured against the dense oracle (never config-vs-config)."""
+    import dataclasses
+    import json
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from mfnerf_tpu.models.rendering import (_render_test_wavefront,
+                                             render_test_dense)
+    oracle = render_test_dense(model, params, occ, rays_o, rays_d,
+                               dataclasses.replace(rcfg, test_chunk=16384))
+    _sync(oracle["rgb"])
+    for name, wf in json.loads(args.wavefronts).items():
+        r2 = dataclasses.replace(rcfg, wavefront=tuple(int(x) for x in wf))
+        out = _render_test_wavefront(model, params, occ, rays_o, rays_d,
+                                     r2, t_near, t_far)
+        _sync(out[0])
+        # blend the white bg like render_test/the oracle do (raw-vs-blended
+        # would book every background ray as error)
+        blended = out[0] + (1.0 - out[1])[:, None]
+        err = float(jnp.mean((blended - oracle["rgb"]) ** 2))
+        note = f"psnr-vs-oracle {-10 * np.log10(max(err, 1e-12)):.1f}"
+        ts = []
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            out = _render_test_wavefront(model, params, occ,
+                                         rays_o + (i + 1) * 1e-6,
+                                         rays_d, r2, t_near, t_far)
+            _sync(out[0])
+            ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs = [_render_test_wavefront(model, params, occ,
+                                       rays_o + (i + 10) * 1e-6, rays_d,
+                                       r2, t_near, t_far)
+                for i in range(4)]
+        [_sync(o[0]) for o in outs]
+        pipe = (time.perf_counter() - t0) / 4
+        print(f"  {name}: blocking {min(ts) * 1e3:8.1f} ms/frame, "
+              f"pipelined {pipe * 1e3:8.1f} ms ({1 / pipe:.2f} fps) "
+              f"vr={int(out[3])} {note}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=8192)
@@ -63,6 +108,10 @@ def main():
     ap.add_argument("--eval_chunk", type=int, default=None,
                     help="override rcfg.eval_chunk (0 disables chunked "
                          "padded-round field eval)")
+    ap.add_argument("--wavefronts", type=str, default=None,
+                    help="JSON dict {name: [pool, seek_w, window, cap]}: "
+                         "time the persistent-pool wavefront renderer with "
+                         "each config; PSNR vs the dense oracle")
     ap.add_argument("--straggler2", type=str, default=None,
                     help="tail sweep stage as 'capacity,window,cap' "
                          "(rcfg.straggler2; 'none' clears it)")
@@ -114,7 +163,10 @@ def main():
     fused = system.make_fused_train_fn(n_img=16, hw=hw)
     key = jax.random.PRNGKey(1)
     step = 0
-    for n in [96] * (args.warmup_steps // 96):
+    chunks = [96] * (args.warmup_steps // 96)
+    if args.warmup_steps % 96:
+        chunks.append(args.warmup_steps % 96)
+    for n in chunks:
         key, sub = jax.random.split(key)
         system.params, system.opt_state, system.occ, m = fused(
             system.params, system.opt_state, system.occ, system.poses,
@@ -232,6 +284,11 @@ def main():
 
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
 
+    if args.wavefronts:
+        _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
+                          t_near, t_far)
+        return
+
     # per-round stats (one run with stats collection)
     *_, vr_total, stats = _render_test_alive(
         model, params, occ, rays_o, rays_d, rcfg, t_near, t_far, True)
@@ -314,7 +371,8 @@ def main():
             out = _render_test_alive(model, params, occ, rays_o, rays_d, r2,
                                      t_near, t_far)
             _sync(out[0])
-            err = float(jnp.mean((out[0] - oracle["rgb"]) ** 2))
+            blended = out[0] + (1.0 - out[1])[:, None]
+            err = float(jnp.mean((blended - oracle["rgb"]) ** 2))
             note = f"psnr-vs-oracle {-10 * np.log10(max(err, 1e-12)):.1f}"
             ts = []
             for i in range(args.frames):

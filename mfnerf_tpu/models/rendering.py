@@ -804,7 +804,12 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
 
     pool0 = fresh_rows(jnp.arange(P, dtype=jnp.int32),
                        jnp.arange(P) < n_valid)
-    out0 = jnp.zeros((n, 5), jnp.float32)  # rgb, opacity, depth
+    # seed the output/counter carries from ray data: under shard_map the
+    # while_loop requires the initial carry to share the body outputs'
+    # varying ('data') manual axes — a constant zeros() does not
+    veil = rays_o[0, 0] * 0.0
+    out0 = jnp.zeros((n, 5), jnp.float32) + veil  # rgb, opacity, depth
+    vr0 = veil.astype(jnp.int32)
     q0 = jnp.minimum(jnp.int32(P), n_valid)
 
     def cond(carry):
@@ -891,7 +896,7 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
         return pool, out, q, vr, it + 1
 
     pool, out, q, vr_total, _ = jax.lax.while_loop(
-        cond, body, (pool0, out0, q0, jnp.int32(0), jnp.int32(0)))
+        cond, body, (pool0, out0, q0, vr0, jnp.int32(0)))
     return out[:, :3], out[:, 3], out[:, 4], vr_total
 
 
@@ -1034,8 +1039,11 @@ def _sharded_render_fn(model, rcfg: RenderConfig, mesh, img_wh,
     from jax.sharding import PartitionSpec as P
     pd, pr = P("data"), P()
 
+    render = (_render_test_wavefront if rcfg.wavefront is not None
+              else _render_test_alive)
+
     def local(params, occ, ro, rd, tn, tf, exposure):
-        rgb, op, de, vr = _render_test_alive(
+        rgb, op, de, vr = render(
             model, params, occ, ro, rd, rcfg,
             tn if use_prepass else None, tf if use_prepass else None,
             exposure=exposure if has_exposure else None)

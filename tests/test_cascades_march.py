@@ -159,6 +159,17 @@ def test_render_paths_use_cascades_march_and_match_oracle():
     np.testing.assert_allclose(np.asarray(res_alive["rgb"]),
                                np.asarray(res_dense["rgb"]), atol=2e-3)
 
+    # the wavefront renderer's multi-cascade branch (union-grid seek +
+    # exp-dt window march inside the persistent pool) vs the same oracle
+    for wf in ((64, 32, 32, 8), (48, 0, 48, 16)):
+        res_wf = render_test(model, params, occ, rays_o, rays_d,
+                             dc.replace(rcfg, wavefront=wf))
+        np.testing.assert_allclose(np.asarray(res_wf["opacity"]),
+                                   np.asarray(res_dense["opacity"]),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(res_wf["rgb"]),
+                                   np.asarray(res_dense["rgb"]), atol=2e-3)
+
 
 def test_e2e_multicascade_training_learns():
     """Fused training on a spread (scale=2, exp-dt) procedural scene must

@@ -128,6 +128,18 @@ def test_sharded_render_matches_single_device():
         rgb_leaf = out["rgb"]
         assert len(rgb_leaf.sharding.device_set) == 8
 
+    # wavefront renderer under shard_map: the persistent pool drains each
+    # device's shard independently; must still match the single-device
+    # oracle-exact output (pool smaller than the shard to force refills)
+    import dataclasses
+    rcfg_wf = dataclasses.replace(rcfg, wavefront=(32, 16, 16, 8))
+    out = render_test_sharded(model, params, occ, rays_o[:509],
+                              rays_d[:509], rcfg_wf, mesh)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"])[:509], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["opacity"]),
+                               np.asarray(ref["opacity"])[:509], atol=2e-4)
+
 
 def test_allgather_ragged_with_faked_processes():
     """Multi-host validation metric gather (train.py allgather_ragged):

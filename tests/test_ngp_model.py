@@ -80,6 +80,41 @@ def test_update_density_grid_warmup_and_ema():
     assert (g3 >= g1 * 0.95 - 1e-5).all()
 
 
+def test_half_dense_refresh_alternates_and_covers():
+    """--refresh_half semantics (update_density_grid(half=0|1)): the
+    refreshed Morton half gets live sigma (trunc_exp > 0 always), the
+    skipped half decays exactly like the reference's unsampled cells
+    (networks.py:264), and an even+odd pair covers every cell."""
+    import dataclasses
+    cfg = _tiny_cfg()
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    occ0 = OccupancyState.create(cfg)
+    assert (np.asarray(occ0.density_grid) == 0).all()
+
+    o1 = model.update_density_grid(params, occ0, jax.random.PRNGKey(1),
+                                   density_threshold=0.01, decay=0.6,
+                                   half=0)
+    g1 = np.asarray(o1.density_grid)
+    assert (g1[:, 0::2] > 0).all()   # refreshed half: live sigma
+    assert (g1[:, 1::2] == 0).all()  # skipped half: decayed zero stays zero
+
+    o2 = model.update_density_grid(params, o1, jax.random.PRNGKey(2),
+                                   density_threshold=0.01, decay=0.6,
+                                   half=1)
+    g2 = np.asarray(o2.density_grid)
+    assert (g2[:, 1::2] > 0).all()   # the pair covers all cells
+    # the even half was skipped this refresh: exact EMA decay, no eval
+    np.testing.assert_allclose(g2[:, 0::2], g1[:, 0::2] * 0.6, rtol=1e-6)
+
+    # invisible cells are never resurrected by a half refresh
+    marked = dataclasses.replace(
+        o2, density_grid=o2.density_grid.at[0, :64].set(-1.0))
+    o3 = model.update_density_grid(params, marked, jax.random.PRNGKey(3),
+                                   density_threshold=0.01, half=0)
+    assert (np.asarray(o3.density_grid)[0, :64] == -1).all()
+
+
 def test_bitfield_consistent_with_grid():
     cfg = _tiny_cfg()
     model = NGP(cfg)
