@@ -314,3 +314,32 @@ def test_rtmv_loader_roundtrip(tmp_path):
     # frame 105 cycles to pose 105 % 8 = 1
     np.testing.assert_allclose(ds_test.poses[0], scene["poses"][105 % 8],
                                atol=1e-5)
+
+
+# ------------------------------------------------- CLI plumbing (last 3 flags)
+def test_remaining_flags_reach_their_consumers(monkeypatch):
+    """--lr_k_min / --hash_grad_samples / --multihost: parse the real CLI
+    (opt.get_opts) and assert each value lands where it is consumed —
+    the LowRank knot ladder, HashGridConfig.grad_corners, and the
+    multihost gate in train.main (jax.distributed.initialize)."""
+    import sys
+
+    from mfnerf_tpu.opt import get_opts
+
+    argv = ["prog", "--root_dir", "<memory>", "--exp_name", "t",
+            "--grid", "LowRank", "--lr_k_min", "8", "--lr_k_max", "64",
+            "--lr_levels", "3", "--lr_fused", "0",  # fused ladder is k_max-derived
+            "--hash_grad_samples", "2", "--multihost"]
+    monkeypatch.setattr(sys, "argv", argv)
+    hp = get_opts()
+    assert hp.lr_k_min == 8 and hp.hash_grad_samples == 2 and hp.multihost
+
+    system = NeRFSystem(hp)
+    assert system.model_cfg.lr_k_min == 8
+    assert system.model_cfg.hash_grad_samples == 2
+    # the LowRank knot ladder starts at k_min and ends at k_max
+    levels = system.model_cfg.lowrank_cfg.levels
+    assert levels[0] == 8 and levels[-1] == 64
+
+    hp.grid = "Hash"  # grad_corners reaches the hash-family backward config
+    assert NeRFSystem(hp).model_cfg.hash_cfg.grad_corners == 2
