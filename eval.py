@@ -30,6 +30,10 @@ def main():
                             "offline-eval protocol (test.ipynb cell 2) "
                             "renders at 1e-2, not the 1e-4 used in "
                             "training-time validation")
+    extra.add_argument("--wavefront", type=str, default=None,
+                       help="render via the persistent-pool wavefront "
+                            "renderer: 'P,seek,window,cap'; 'none' forces "
+                            "the round-schedule renderer")
     extra_args, rest = extra.parse_known_args()
     hparams = get_opts(rest)
     if not hparams.ckpt_path:
@@ -48,6 +52,10 @@ def main():
     system = NeRFSystem(hparams)
     system.rcfg = dataclasses.replace(system.rcfg,
                                       T_threshold=extra_args.t_threshold)
+    if extra_args.wavefront:
+        wf = (None if extra_args.wavefront.lower() == "none" else
+              tuple(int(x) for x in extra_args.wavefront.split(",")))
+        system.rcfg = dataclasses.replace(system.rcfg, wavefront=wf)
     # --num_gpus > 1: DP rendering, rays sharded over the device mesh
     # (models/rendering.render_test_sharded)
     mesh = system.mesh if getattr(hparams, "num_gpus", 1) > 1 else None
