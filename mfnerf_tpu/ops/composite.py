@@ -75,18 +75,49 @@ class FlatCompositeResults(NamedTuple):
     vr_samples: jnp.ndarray   # () int32
 
 
+def _two_sum(a, b):
+    """Error-free transform: a + b = s + err exactly (Knuth TwoSum)."""
+    s = a + b
+    z = s - a
+    return s, (a - (s - z)) + (b - z)
+
+
+def _ds_cumsum(x):
+    """Inclusive cumsum along axis 0 in compensated double-single fp32.
+
+    Returns (hi, lo) with hi + lo ~= the exact prefix sum to ~2x fp32
+    precision. Why not jnp.cumsum: the segment helpers below reconstruct
+    SMALL per-segment values as differences of the GLOBAL prefix, and at
+    production flat-batch sizes (~10^6-10^7 samples with sigma*dt up to 80)
+    the prefix reaches ~10^7 where one fp32 ulp is ~1.0 — plain-cumsum
+    boundary differences were measured wrong by O(1) in sd_excl, i.e. the
+    flat renderer's transmittance was off by factors of e^{+-1} (13-31 dB
+    vs the oracle on TPU, 2026-08-18). Carrying the (hi, lo) pair through
+    the subtraction recovers ~eps^2-level accuracy at ~2x the cumsum cost.
+    """
+    def combine(l, r):
+        hi, err = _two_sum(l[0], r[0])
+        return hi, err + l[1] + r[1]
+    return jax.lax.associative_scan(combine, (x, jnp.zeros_like(x)), axis=0)
+
+
 def seg_sum(x, offsets):
     """Per-segment sums of a ray-ordered flat array via boundary differences
-    of one cumsum. x: (B,) or (B, C); offsets: (N,) exclusive starts."""
-    csum = jnp.cumsum(x, axis=0)
+    of one compensated cumsum. x: (B,) or (B, C); offsets: (N,) exclusive
+    starts."""
+    hi, lo = _ds_cumsum(x)
     seg_end = jnp.concatenate(
         [offsets[1:], jnp.array([x.shape[0]], jnp.int32)]) - 1
-    at_end = csum[jnp.maximum(seg_end, 0)]
     nonempty = seg_end >= offsets
-    before = jnp.where((offsets > 0)[:, None] if x.ndim == 2 else offsets > 0,
-                       csum[jnp.maximum(offsets - 1, 0)], 0.0)
-    return jnp.where(nonempty[:, None] if x.ndim == 2 else nonempty,
-                     at_end - before, 0.0)
+    end_i = jnp.maximum(seg_end, 0)
+    beg_i = jnp.maximum(offsets - 1, 0)
+    has_before = (offsets > 0)
+    if x.ndim == 2:
+        has_before = has_before[:, None]
+        nonempty = nonempty[:, None]
+    d = (hi[end_i] - jnp.where(has_before, hi[beg_i], 0.0)) \
+        + (lo[end_i] - jnp.where(has_before, lo[beg_i], 0.0))
+    return jnp.where(nonempty, d, 0.0)
 
 
 @jax.custom_vjp
@@ -120,13 +151,16 @@ def seg_excl_cumsum(x, ray_id, offsets, n_rays):
     """Segment-exclusive prefix sum over a ray-ordered flat array.
 
     x: (B,) values, segments contiguous per ray; offsets: (N,) exclusive
-    segment starts; ray_id: (B,). Pure cumsum + two small gathers — the TPU
-    substitute for per-segment scans (no scatter, no sort).
+    segment starts; ray_id: (B,). One compensated cumsum + two small gathers
+    — the TPU substitute for per-segment scans (no scatter, no sort). The
+    double-single carry matters: see :func:`_ds_cumsum`.
     """
-    csum = jnp.cumsum(x)
-    incl_before_seg = jnp.where(
-        offsets > 0, csum[jnp.maximum(offsets - 1, 0)], 0.0)  # (N,)
-    return csum - x - incl_before_seg[ray_id]
+    hi, lo = _ds_cumsum(x)
+    beg_i = jnp.maximum(offsets - 1, 0)
+    has_before = (offsets > 0)[ray_id]
+    hi_b = jnp.where(has_before, hi[beg_i][ray_id], 0.0)
+    lo_b = jnp.where(has_before, lo[beg_i][ray_id], 0.0)
+    return ((hi - hi_b) - x) + (lo - lo_b)
 
 
 def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,

@@ -87,3 +87,35 @@ def test_flat_budget_truncation_is_graceful():
     op_tiny = np.asarray(out_tiny["opacity"])
     assert (op_tiny <= op_pad + 1e-5).all()
     assert np.isfinite(np.asarray(out_tiny["rgb"])).all()
+
+
+def test_segment_helpers_survive_large_global_prefix():
+    """seg_sum / seg_excl_cumsum reconstruct SMALL per-segment values as
+    differences of a GLOBAL prefix sum. At production flat-batch sizes the
+    prefix reaches ~1e7 (sigma*dt up to 80 over millions of samples) where
+    one fp32 ulp is ~1 — a plain-cumsum implementation returned sd_excl
+    wrong by O(1), i.e. transmittance off by e^{+-1} (13-31 dB vs the
+    oracle at 800x800, TPU 2026-08-18). The compensated double-single scan
+    must stay accurate to ~1e-4 absolute at that magnitude."""
+    from mfnerf_tpu.ops.composite import seg_excl_cumsum, seg_sum
+
+    rng = np.random.default_rng(0)
+    n, length = 100_000, 16  # global prefix ~ 8e6
+    x = rng.uniform(0, 10, size=(n * length,)).astype(np.float32)
+    offsets = (np.arange(n, dtype=np.int32) * length)
+    ray_id = np.repeat(np.arange(n), length).astype(np.int32)
+
+    excl = np.asarray(seg_excl_cumsum(jnp.asarray(x), jnp.asarray(ray_id),
+                                      jnp.asarray(offsets), n))
+    x64 = x.astype(np.float64).reshape(n, length)
+    ref_excl = (np.cumsum(x64, axis=1) - x64).reshape(-1)
+    np.testing.assert_allclose(excl, ref_excl, atol=1e-4)
+
+    ssum = np.asarray(seg_sum(jnp.asarray(x), jnp.asarray(offsets)))
+    np.testing.assert_allclose(ssum, x64.sum(axis=1), atol=1e-4)
+
+    # 2D variant (rgb accumulation path)
+    x2 = rng.uniform(0, 10, size=(n * length, 2)).astype(np.float32)
+    s2 = np.asarray(seg_sum(jnp.asarray(x2), jnp.asarray(offsets)))
+    ref2 = x2.astype(np.float64).reshape(n, length, 2).sum(axis=1)
+    np.testing.assert_allclose(s2, ref2, atol=1e-4)
