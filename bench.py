@@ -270,7 +270,8 @@ def main():
         **({"fps_800": round(fps_pipelined, 2),
             "fps_vs_baseline": round(fps_pipelined / fps_baseline, 4),
             "fps_t_threshold": args.fps_t_threshold,
-            "fps_wavefront": args.fps_wavefront}
+            "fps_wavefront": list(fps_rcfg.wavefront)
+            if fps_rcfg.wavefront is not None else None}
            if fps_pipelined is not None else {}),
         "config": {
             "grid": args.grid, "s_flat": args.s_flat,

@@ -110,12 +110,22 @@ class RenderConfig:
     # WAVEFRONT renderer (pool, seek_window, window, cap): replaces the
     # round schedule + sweep with a persistent compacted ray pool — dead
     # slots refill from the frame's ray queue each iteration, so the
-    # per-iteration selection/state machinery runs at POOL scale (~65k
-    # rows) instead of frame scale (640k), and completion is structural
-    # (the loop runs until the queue is drained and the pool is dead).
+    # per-iteration selection/state machinery runs at POOL scale instead
+    # of frame scale (640k), and completion is structural (the loop runs
+    # until the queue is drained and the pool is dead).
     # None keeps the round-schedule renderer. See _render_test_wavefront.
-    wavefront: Optional[tuple] = None
-    wavefront_max_iters: int = 4096  # safety bound (progress is guaranteed)
+    # DEFAULT (the r3 sweep winner, docs/TPU_NOTES.md): pool 2048 — the
+    # measured optimum (bigger pools lose tail fill, smaller ones go
+    # iteration-bound); NO explicit seek phase — the window march's
+    # stage-A coarse selection already skips leading empty strata, so a
+    # long window is a cheaper seek than a separate field-free phase
+    # (2.74 -> 3.07 fps at 800x800, T=1e-2, oracle-exact); window 128
+    # (saturated 128..256); cap 16. 1.9x the tuned round schedule.
+    wavefront: Optional[tuple] = (2048, 0, 128, 16)
+    # safety bound only (progress is guaranteed; completion is the exit
+    # condition): must exceed the worst case (n/P) * ceil(k_total/window)
+    # iterations of a fully-dense frame — 4096 did not at 640k rays/P=2048
+    wavefront_max_iters: int = 1 << 16
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:

@@ -173,6 +173,14 @@ def get_opts(argv=None):
                         help='[tpu] flat (ragged) sample evaluation budget '
                              'per ray; 0 (default) keeps the padded rows — '
                              'measured faster on current hardware')
+    parser.add_argument('--wavefront', type=str, default='auto',
+                        help='[tpu] test/validation renderer: "auto" keeps '
+                             'the RenderConfig default (persistent-pool '
+                             'wavefront, the measured winner), "none" falls '
+                             'back to the round-schedule renderer, or '
+                             '"P,seek,window,cap" sets an explicit pool '
+                             'config (see models/rendering.py '
+                             '_render_test_wavefront)')
     parser.add_argument('--multihost', action='store_true', default=False,
                         help='[tpu] call jax.distributed.initialize() for '
                              'multi-host (DCN) runs; the data mesh then '

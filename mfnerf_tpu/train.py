@@ -138,6 +138,11 @@ class NeRFSystem:
             # gave in round 2, at half the row gathers
             s_strata=max(4, hparams.s_max_train // 8),
             s_flat=getattr(hparams, "s_flat", 0))
+        wf = getattr(hparams, "wavefront", "auto")
+        if wf != "auto":
+            self.rcfg = dataclasses.replace(
+                self.rcfg, wavefront=None if str(wf).lower() == "none"
+                else tuple(int(x) for x in str(wf).split(",")))
         self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
         self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
         self.mesh = make_mesh(hparams.num_gpus)
