@@ -38,7 +38,10 @@ def run_one(grid, args, overrides=None):
         rgb_layers=2, seed=1337, s_max_train=args.s_max, s_max_test=128,
         test_chunk=args.wh * args.wh, lpips_weights=None, profile=False,
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
-        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512)
+        lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=512,
+        # the production path (opt.py --lr_fused default 1): nested levels
+        # folded into one full-lane matmul per (frame, axis)
+        lr_fused=1)
     for k, v in (overrides or {}).items():
         setattr(hp, k, v)
 
