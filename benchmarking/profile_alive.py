@@ -98,6 +98,13 @@ def main():
     ap.add_argument("--dummy_field", action="store_true",
                     help="replace the field eval with constants: isolates "
                          "march+machinery cost from MLP/encoder cost")
+    ap.add_argument("--dummy_sigma", type=float, default=500.0,
+                    help="constant density of --dummy_field; tune so the "
+                         "dummy frame's emission count (vr) matches the "
+                         "real field's — then dummy time = the true "
+                         "machinery cost at matched work (sigma 500 kills "
+                         "rays in ~4 samples; ~150 matches a converged "
+                         "bench-scene frame's ~17/ray)")
     ap.add_argument("--pre_block", type=int, default=16,
                     help="rasterized-prepass pixel block size")
     ap.add_argument("--pre_dilate", type=int, default=3,
@@ -192,15 +199,14 @@ def main():
     cfg, rcfg = system.model_cfg, system.rcfg
     if args.dummy_field:
         class _Dummy:  # hashable static stand-in; constant field output
-            def __init__(self, cfg):
+            def __init__(self, cfg, sigma):
                 self.cfg = cfg
+                self.sigma = sigma
 
             def __call__(self, params, xyz, dirs, exposure=None):
-                # sigma*dt ~ 0.85 -> T<1e-4 after ~11 samples, matching the
-                # real field's ~9.5 composited samples/ray
-                return (jnp.full(xyz.shape[:1], 500.0),
+                return (jnp.full(xyz.shape[:1], self.sigma),
                         jnp.full((xyz.shape[0], 3), 0.5))
-        model = _Dummy(cfg)
+        model = _Dummy(cfg, args.dummy_sigma)
     if args.schedule:
         import json
         sched = tuple(tuple(r) for r in json.loads(args.schedule))
