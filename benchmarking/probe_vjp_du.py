@@ -74,6 +74,22 @@ def main():
           f"{timed(fwdbwd, 24, x, params):.2f} ms")
     LR._hat_cp_prod.defvjp(LR._hat_cp_prod_fwd, orig)
 
+    # plain autodiff: bypass the custom VJP entirely — XLA saves the (N, K)
+    # bases as residuals instead of rebuilding them (the pre-a75ed76
+    # behavior). A/B against the memory-lean rebuild at the bench shape.
+    def hat_cp_plain(u3, w3, k_res, mm_dtype):
+        out, _ = LR._hat_cp_prod_fwd(u3, w3, k_res, mm_dtype)
+        return out
+
+    orig_prod = LR._hat_cp_prod
+    LR._hat_cp_prod = hat_cp_plain
+    try:
+        print(f"encoder fwd (plain autodiff): {timed(fwd, 24, x, params):.2f} ms")
+        print(f"encoder fwd+bwd (plain autodiff): "
+              f"{timed(fwdbwd, 24, x, params):.2f} ms")
+    finally:
+        LR._hat_cp_prod = orig_prod
+
 
 if __name__ == "__main__":
     main()
