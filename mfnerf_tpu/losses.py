@@ -39,14 +39,17 @@ def distortion_loss(ws, deltas, ts, mask):
     return pair + uni
 
 
-def distortion_loss_flat(ws, w_excl, wm_excl, deltas, ts, offsets):
+def distortion_loss_flat(ws, w_excl, wm_excl, deltas, ts, offsets,
+                         block=None):
     """Distortion loss over flat ray-ordered samples (same closed form as
     :func:`distortion_loss`, with the exclusive prefix sums precomputed by
-    the flat compositor). Returns (N,) per-ray losses."""
-    from .ops.composite import seg_sum
+    the flat compositor). Returns (N,) per-ray losses. ``block`` is the
+    static content-window bound of the flat layout (ops/composite.SEG_BLOCK
+    when omitted)."""
+    from .ops.composite import SEG_BLOCK, seg_sum
     pair = 2.0 * (ws * (ts * w_excl - wm_excl))
     uni = ws * ws * deltas / 3.0
-    return seg_sum(pair + uni, offsets)
+    return seg_sum(pair + uni, offsets, block or SEG_BLOCK)
 
 
 class NeRFLoss:
@@ -66,11 +69,13 @@ class NeRFLoss:
 
         if self.lambda_distortion > 0:
             if "ws_flat" in results:  # flat (ragged) sample layout
+                blk = results.get("flat_block")
                 d["distortion"] = (
                     self.lambda_distortion * distortion_loss_flat(
                         results["ws_flat"], results["w_excl_flat"],
                         results["wm_excl_flat"], results["deltas_flat"],
-                        results["ts_flat"], results["offsets"]))
+                        results["ts_flat"], results["offsets"],
+                        block=blk if isinstance(blk, int) else None))
             else:
                 d["distortion"] = self.lambda_distortion * distortion_loss(
                     results["ws"], results["deltas"], results["ts"],

@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.composite import (composite_test_step, composite_test_step_flat,
-                             composite_train, composite_train_flat,
-                             gather_rows_sorted)
+from ..ops.composite import (SEG_BLOCK, composite_test_step,
+                             composite_test_step_flat, composite_train,
+                             composite_train_flat, gather_rows_sorted)
 from ..ops.intersection import ray_aabb_intersect_single
 from ..ops.ray_march import (cascades_stratum, march_rays_train,
                              march_rays_train_cascades,
@@ -229,11 +229,14 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         valid = jnp.arange(b) < total
         k_f = mr.k_idx[ray_id, jnp.minimum(pos, s - 1)]
 
+        # content-window bound for the blocked segment helpers: no ray
+        # emits more than s (= s_max_train) samples into its flat segment
+        blk = max(SEG_BLOCK, s)
         packed = [rays_o, mr.dirs, mr.t_start[:, None]]
         if exposure is not None:
             packed.append(exposure)
         row_f = gather_rows_sorted(jnp.concatenate(packed, axis=1),
-                                   ray_id, offsets)
+                                   ray_id, offsets, blk)
         o_f, d_f, t0_f = row_f[:, :3], row_f[:, 3:6], row_f[:, 6]
         exp_f = row_f[:, 7:8] if exposure is not None else None
         ts_f = t_ladder(t0_f, k_f[:, None], rcfg.exp_step_factor,
@@ -248,11 +251,12 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         sigmas = jnp.where(valid, sigmas, 0.0)
 
         comp = composite_train_flat(sigmas, rgbs, deltas_f, ts_f, valid,
-                                    ray_id, offsets, n, rcfg.T_threshold)
+                                    ray_id, offsets, n, rcfg.T_threshold,
+                                    block=blk)
         extras = {
             "ws_flat": comp.ws, "w_excl_flat": comp.w_excl,
             "wm_excl_flat": comp.wm_excl, "deltas_flat": deltas_f,
-            "ts_flat": ts_f, "offsets": offsets,
+            "ts_flat": ts_f, "offsets": offsets, "flat_block": blk,
         }
     else:
         xyz_flat = mr.xyzs.reshape(n * s, 3)
@@ -601,7 +605,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
 
             op_s, dep_s, rgb_s, alive_s = composite_test_step_flat(
                 sigmas, rgbs, dt_f, ts_f, valid_f, ray_id, offs,
-                op_r, de_r, rgb_r, alive_r, rcfg.T_threshold)
+                op_r, de_r, rgb_r, alive_r, rcfg.T_threshold,
+                block=max(SEG_BLOCK, s_cap))
             emitted = allowed
         else:
             # ---- padded round: field eval on the full (c, s_cap) block ----

@@ -17,6 +17,7 @@ reference's ``rays_a`` CSR segments disappear.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -75,96 +76,135 @@ class FlatCompositeResults(NamedTuple):
     vr_samples: jnp.ndarray   # () int32
 
 
-def _two_sum(a, b):
-    """Error-free transform: a + b = s + err exactly (Knuth TwoSum)."""
-    s = a + b
-    z = s - a
-    return s, (a - (s - z)) + (b - z)
+# Default block width for the blocked segment helpers. INVARIANT every
+# caller must satisfy: each segment's nonzero content lies within `block`
+# slots of its segment start (the flat layouts bound per-ray sample counts
+# by s_max_train / s_cap, both <= 128 at every shipped config; rendering.py
+# passes block = max(SEG_BLOCK, s) where configs can exceed it).
+SEG_BLOCK = 128
 
 
-def _ds_cumsum(x):
-    """Inclusive cumsum along axis 0 in compensated double-single fp32.
+def _blocked_prefix(x, block):
+    """Within-block inclusive cumsum + per-block totals.
 
-    Returns (hi, lo) with hi + lo ~= the exact prefix sum to ~2x fp32
-    precision. Why not jnp.cumsum: the segment helpers below reconstruct
-    SMALL per-segment values as differences of the GLOBAL prefix, and at
+    Why blocks instead of one global cumsum: the segment helpers below
+    reconstruct SMALL per-segment values as prefix differences, and at
     production flat-batch sizes (~10^6-10^7 samples with sigma*dt up to 80)
-    the prefix reaches ~10^7 where one fp32 ulp is ~1.0 — plain-cumsum
+    a GLOBAL prefix reaches ~10^7 where one fp32 ulp is ~1.0 — global-cumsum
     boundary differences were measured wrong by O(1) in sd_excl, i.e. the
-    flat renderer's transmittance was off by factors of e^{+-1} (13-31 dB
-    vs the oracle on TPU, 2026-08-18). Carrying the (hi, lo) pair through
-    the subtraction recovers ~eps^2-level accuracy at ~2x the cumsum cost.
+    flat renderer's transmittance was off by factors of e^{+-1} (13-31 dB vs
+    the oracle on TPU, 2026-08-18). A compensated double-single scan fixed
+    that but cost 3.4 ms/step at the bench config (measured). Because every
+    segment's content fits in `block` slots, prefix differences only ever
+    need block-LOCAL prefixes plus at most two whole-block totals — all
+    block-scale magnitudes, so plain fp32 is exact to ~block_sum ulps and no
+    global-magnitude value is ever materialized or subtracted.
+
+    Returns:
+        (loc, totals): loc = x's shape, inclusive prefix restarted at every
+        block boundary; totals = (ceil(B/block), ...) per-block sums.
     """
-    def combine(l, r):
-        hi, err = _two_sum(l[0], r[0])
-        return hi, err + l[1] + r[1]
-    return jax.lax.associative_scan(combine, (x, jnp.zeros_like(x)), axis=0)
+    b = x.shape[0]
+    nb = -(-b // block)
+    pad = nb * block - b
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    xb = x.reshape((nb, block) + x.shape[1:])
+    loc_b = jnp.cumsum(xb, axis=1)
+    totals = loc_b[:, -1]
+    loc = loc_b.reshape((nb * block,) + x.shape[1:])
+    return (loc[:b] if pad else loc), totals
 
 
-def seg_sum(x, offsets):
-    """Per-segment sums of a ray-ordered flat array via boundary differences
-    of one compensated cumsum. x: (B,) or (B, C); offsets: (N,) exclusive
-    starts."""
-    hi, lo = _ds_cumsum(x)
+def seg_sum(x, offsets, block=SEG_BLOCK):
+    """Per-segment sums of a ray-ordered flat array. x: (B,) or (B, C);
+    offsets: (N,) exclusive starts. Exact under the content-window invariant
+    (see :data:`SEG_BLOCK`): the inclusive segment end is clamped into
+    [start, start + block), which drops only slots that are zero by the
+    invariant, so the difference spans at most one block boundary."""
+    loc, totals = _blocked_prefix(x, block)
+    b = x.shape[0]
     seg_end = jnp.concatenate(
-        [offsets[1:], jnp.array([x.shape[0]], jnp.int32)]) - 1
+        [offsets[1:], jnp.array([b], jnp.int32)]) - 1
     nonempty = seg_end >= offsets
-    end_i = jnp.maximum(seg_end, 0)
-    beg_i = jnp.maximum(offsets - 1, 0)
-    has_before = (offsets > 0)
+    end_c = jnp.clip(seg_end, 0, jnp.minimum(offsets + (block - 1), b - 1))
+    j = jnp.maximum(offsets - 1, 0)
+    has_before = offsets > 0
+    bb = jnp.where(has_before, j // block, 0)
+    b_e = end_c // block
+    carry_on = b_e > bb
+    nb = totals.shape[0]
+    t1 = totals[jnp.minimum(bb, nb - 1)]
+    base = loc[j]
     if x.ndim == 2:
-        has_before = has_before[:, None]
         nonempty = nonempty[:, None]
-    d = (hi[end_i] - jnp.where(has_before, hi[beg_i], 0.0)) \
-        + (lo[end_i] - jnp.where(has_before, lo[beg_i], 0.0))
-    return jnp.where(nonempty, d, 0.0)
+        has_before = has_before[:, None]
+        carry_on = carry_on[:, None]
+    t1 = jnp.where(carry_on, t1, 0.0)
+    base = jnp.where(has_before, base, 0.0)
+    return jnp.where(nonempty, t1 + (loc[end_c] - base), 0.0)
 
 
-@jax.custom_vjp
-def gather_rows_sorted(table, ray_id, offsets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_rows_sorted(table, ray_id, offsets, block=SEG_BLOCK):
     """Gather ``table`` (N, C) rows by a SORTED segment-contiguous ``ray_id``
     (B,) whose segment starts are ``offsets`` (N,).
 
     Functionally ``table[ray_id]``, but with a custom VJP: the generic gather
     backward is a B-update scatter-add (~60 ns/update on this chip,
     docs/TPU_NOTES.md), while sortedness makes it an exact per-segment sum —
-    one cumsum plus boundary differences (:func:`seg_sum`). This is what lets
+    block-local cumsum plus boundary differences (:func:`seg_sum`). This lets
     the flat (ragged) training path carry pose-refinement gradients through
-    per-ray geometry without any scatter in the backward program.
+    per-ray geometry without any scatter in the backward program. ``block``
+    is the static content-window bound (see :data:`SEG_BLOCK`).
     """
     return table[ray_id]
 
 
-def _gather_rows_fwd(table, ray_id, offsets):
+def _gather_rows_fwd(table, ray_id, offsets, block):
     return table[ray_id], (ray_id, offsets, table.dtype)
 
 
-def _gather_rows_bwd(res, g):
+def _gather_rows_bwd(block, res, g):
     ray_id, offsets, dtype = res
-    return seg_sum(g.astype(jnp.float32), offsets).astype(dtype), None, None
+    return (seg_sum(g.astype(jnp.float32), offsets, block).astype(dtype),
+            None, None)
 
 
 gather_rows_sorted.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def seg_excl_cumsum(x, ray_id, offsets, n_rays):
-    """Segment-exclusive prefix sum over a ray-ordered flat array.
+def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
+    """Segment-exclusive prefix sum over a (B,) ray-ordered flat array.
 
-    x: (B,) values, segments contiguous per ray; offsets: (N,) exclusive
-    segment starts; ray_id: (B,). One compensated cumsum + two small gathers
-    — the TPU substitute for per-segment scans (no scatter, no sort). The
-    double-single carry matters: see :func:`_ds_cumsum`.
+    offsets: (N,) exclusive segment starts; ray_id: (B,). The TPU substitute
+    for per-segment scans (no scatter, no sort): one block-local cumsum plus
+    a few gathers. Exact under the content-window invariant (SEG_BLOCK) —
+    a segment's content spans at most blocks {bb, bb+1} (bb = the block of
+    start-1), so the prefix difference needs at most those two block totals;
+    slots past the content window reconstruct the full content sum exactly
+    because later block totals are zero. ``n_rays`` is unused (API compat).
     """
-    hi, lo = _ds_cumsum(x)
-    beg_i = jnp.maximum(offsets - 1, 0)
-    has_before = (offsets > 0)[ray_id]
-    hi_b = jnp.where(has_before, hi[beg_i][ray_id], 0.0)
-    lo_b = jnp.where(has_before, lo[beg_i][ray_id], 0.0)
-    return ((hi - hi_b) - x) + (lo - lo_b)
+    del n_rays
+    loc, totals = _blocked_prefix(x, block)
+    b = x.shape[0]
+    nb = totals.shape[0]
+    i = jnp.arange(b, dtype=jnp.int32)
+    beg = offsets[ray_id]
+    has_before = beg > 0
+    j = jnp.maximum(beg - 1, 0)
+    bb = jnp.where(has_before, j // block, 0)
+    b_i = i // block
+    t1 = jnp.where(b_i > bb, totals[jnp.minimum(bb, nb - 1)], 0.0)
+    t2 = jnp.where(b_i > bb + 1, totals[jnp.minimum(bb + 1, nb - 1)], 0.0)
+    base = jnp.where(has_before, loc[j], 0.0)
+    return (t1 + t2) + ((loc - x) - base)
 
 
 def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
-                         n_rays, T_threshold=1e-4) -> FlatCompositeResults:
+                         n_rays, T_threshold=1e-4,
+                         block=SEG_BLOCK) -> FlatCompositeResults:
     """Front-to-back compositing over FLAT ray-ordered samples.
 
     Identical math to :func:`composite_train` — transmittance before sample
@@ -180,6 +220,8 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
         ray_id: (B,) int32 segment id per sample.
         offsets: (N,) int32 exclusive segment start of each ray.
         n_rays: static N.
+        block: static content-window bound (>= the per-ray sample cap that
+            produced the flat layout; see :data:`SEG_BLOCK`).
     """
     # clamp per-sample optical depth: a trunc_exp overflow (sigma=inf in
     # fp32) would otherwise propagate inf-inf=NaN through the cumsum
@@ -187,7 +229,7 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
     sd = jnp.where(valid, sigmas.astype(jnp.float32)
                    * deltas.astype(jnp.float32), 0.0)
     sd = jnp.minimum(sd, 80.0)
-    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, n_rays)
+    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, n_rays, block)
     t_excl = jnp.exp(-sd_excl)
     alpha = 1.0 - jnp.exp(-sd)
     include = (t_excl > T_threshold) & valid
@@ -195,12 +237,12 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
 
     # seg_sum is a cumsum difference: cancellation can produce -epsilon,
     # which the opacity-entropy loss (o*log o) would turn into NaN
-    opacity = jnp.maximum(seg_sum(w, offsets), 0.0)
-    depth = jnp.maximum(seg_sum(w * ts, offsets), 0.0)
+    opacity = jnp.maximum(seg_sum(w, offsets, block), 0.0)
+    depth = jnp.maximum(seg_sum(w * ts, offsets, block), 0.0)
     rgb = jnp.maximum(seg_sum(w[:, None] * rgbs.astype(jnp.float32),
-                              offsets), 0.0)
-    w_excl = seg_excl_cumsum(w, ray_id, offsets, n_rays)
-    wm_excl = seg_excl_cumsum(w * ts, ray_id, offsets, n_rays)
+                              offsets, block), 0.0)
+    w_excl = seg_excl_cumsum(w, ray_id, offsets, n_rays, block)
+    wm_excl = seg_excl_cumsum(w * ts, ray_id, offsets, n_rays, block)
     return FlatCompositeResults(
         opacity=opacity, depth=depth, rgb=rgb, ws=w, w_excl=w_excl,
         wm_excl=wm_excl, vr_samples=include.sum())
@@ -208,7 +250,7 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
 
 def composite_test_step_flat(sigmas, rgbs, deltas, ts, valid, ray_id,
                              offsets, opacity, depth, rgb, alive,
-                             T_threshold):
+                             T_threshold, block=SEG_BLOCK):
     """Flat (ragged) variant of :func:`composite_test_step`: fold a block of
     ray-ordered FLAT samples into the persistent per-ray accumulators.
 
@@ -230,18 +272,18 @@ def composite_test_step_flat(sigmas, rgbs, deltas, ts, valid, ray_id,
     sd = jnp.where(valid, sigmas.astype(jnp.float32)
                    * deltas.astype(jnp.float32), 0.0)
     sd = jnp.minimum(sd, 80.0)  # inf-safety, see composite_train_flat
-    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, opacity.shape[0])
+    sd_excl = seg_excl_cumsum(sd, ray_id, offsets, opacity.shape[0], block)
     t_start = 1.0 - opacity
     t_excl = t_start[ray_id] * jnp.exp(-sd_excl)
     alpha = 1.0 - jnp.exp(-sd)
     include = (t_excl > T_threshold) & valid
     w = jnp.where(include, alpha * t_excl, 0.0)
 
-    opacity = opacity + seg_sum(w, offsets)
-    depth = depth + seg_sum(w * ts, offsets)
-    rgb = rgb + seg_sum(w[:, None] * rgbs.astype(jnp.float32), offsets)
+    opacity = opacity + seg_sum(w, offsets, block)
+    depth = depth + seg_sum(w * ts, offsets, block)
+    rgb = rgb + seg_sum(w[:, None] * rgbs.astype(jnp.float32), offsets, block)
 
-    t_final = t_start * jnp.exp(-seg_sum(sd, offsets))
+    t_final = t_start * jnp.exp(-seg_sum(sd, offsets, block))
     alive = alive & (t_final > T_threshold)
     return opacity, depth, rgb, alive
 
