@@ -208,7 +208,10 @@ def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
     word_i = (local[..., 2] * 2 + (local[..., 1] >> 2))      # (..., K)
     bit = (local[..., 0] + 8 * (local[..., 1] & 3)).astype(jnp.uint32)
     # word selection as a 16-way select-sum (VPU stream; a take_along_axis
-    # here would be K more random gathers — the cost this table avoids)
+    # here would be K more random gathers — the cost this table avoids).
+    # A 4-level binary select tree was probed and is NOT faster: XLA fuses
+    # the where+sum into one streaming pass already (bench 20.6 vs 20.0
+    # ms/step, 2026-08-18).
     word = jnp.sum(
         jnp.where(word_i[..., None] == jnp.arange(16, dtype=word_i.dtype),
                   rows[..., None, :], jnp.uint32(0)),
