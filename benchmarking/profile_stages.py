@@ -42,6 +42,37 @@ def timed_loop(fn, n_iter, *args):
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 
+def _flat_layout_arrays(mr0, b, s):
+    import jax.numpy as jnp
+    counts = mr0.n_samples
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    total = counts.sum()
+    marks = jnp.zeros((b,), jnp.int32).at[offsets].add(
+        1, mode="drop", indices_are_sorted=True)
+    ray_id = jnp.cumsum(marks) - 1
+    pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
+    valid = jnp.arange(b) < total
+    k_f = mr0.k_idx[ray_id, jnp.minimum(pos, s - 1)]
+    return ray_id, offsets, k_f, valid
+
+
+def _flat_xyz(mr0, rays_o, lay, rcfg, cfg, s):
+    import jax.numpy as jnp
+    from mfnerf_tpu.ops.stepping import calc_dt, t_ladder
+    ray_id, offsets, k_f, valid = lay
+    o_f = rays_o[ray_id]
+    d_f = mr0.dirs[ray_id]
+    t0_f = mr0.t_start[ray_id]
+    ts_f = t_ladder(t0_f, k_f[:, None], rcfg.exp_step_factor,
+                    rcfg.max_samples, cfg.grid_size, cfg.scale)[:, 0]
+    dt_f = calc_dt(ts_f, rcfg.exp_step_factor, rcfg.max_samples,
+                   cfg.grid_size, cfg.scale)
+    ts_f = jnp.where(valid, ts_f, 0.0)
+    dt_f = jnp.where(valid, dt_f, 0.0)
+    xyz_f = o_f + ts_f[:, None] * d_f
+    return xyz_f, d_f, ts_f, dt_f
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=8192)
@@ -174,6 +205,87 @@ def main():
     ms = timed_loop(comp_loss, args.iters, jnp.where(
         mr0.mask.reshape(-1), sig0, 0.0), rgb0)
     print(f"composite+loss fwd+bwd: {ms:.2f} ms")
+
+    if rcfg.s_flat:
+        # ---- flat-path machinery breakdown (mirrors rendering.py's
+        # s_flat branch stage by stage on the fixed march result) ----
+        from mfnerf_tpu.ops.composite import (SEG_BLOCK, composite_train_flat,
+                                              gather_rows_sorted)
+        from mfnerf_tpu.ops.stepping import calc_dt, t_ladder
+        b = n * rcfg.s_flat
+        blk = max(SEG_BLOCK, s)
+
+        def flat_layout(key):
+            counts = mr0.n_samples + (
+                jax.random.uniform(key, ()) * 0).astype(jnp.int32)
+            offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+            marks = jnp.zeros((b,), jnp.int32).at[offsets].add(
+                1, mode="drop", indices_are_sorted=True)
+            ray_id = jnp.cumsum(marks) - 1
+            pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
+            k_f = mr0.k_idx[ray_id, jnp.minimum(pos, s - 1)]
+            return (ray_id + pos + k_f).sum().astype(jnp.float32)
+
+        ms = timed_loop(flat_layout, args.iters)
+        print(f"flat layout (offsets/ray_id/k_f): {ms:.2f} ms")
+
+        lay = jax.jit(lambda: _flat_layout_arrays(mr0, b, s))()
+        ray_id0, offs0, k_f0, valid0 = lay
+
+        packed0 = jnp.concatenate(
+            [rays_o, mr0.dirs, mr0.t_start[:, None]], axis=1)
+
+        def flat_fetch(key, packed):
+            def f(pk):
+                row_f = gather_rows_sorted(pk, ray_id0, offs0, blk)
+                o_f, d_f, t0_f = row_f[:, :3], row_f[:, 3:6], row_f[:, 6]
+                ts_f = t_ladder(t0_f + jax.random.uniform(key, ()) * 0,
+                                k_f0[:, None], rcfg.exp_step_factor,
+                                rcfg.max_samples, cfg.grid_size,
+                                cfg.scale)[:, 0]
+                dt_f = calc_dt(ts_f, rcfg.exp_step_factor, rcfg.max_samples,
+                               cfg.grid_size, cfg.scale)
+                xyz_f = o_f + ts_f[:, None] * d_f
+                return (xyz_f.sum() + dt_f.sum())
+            l, g = jax.value_and_grad(f)(packed)
+            return l + g.sum()
+
+        ms = timed_loop(flat_fetch, args.iters, packed0)
+        print(f"flat fetch+reconstruct fwd+bwd ({b} samples): {ms:.2f} ms")
+
+        xyz_fl = jax.jit(lambda: _flat_xyz(mr0, rays_o, lay, rcfg, cfg, s))()
+        xyz_f0, d_f0, ts_f0, dt_f0 = xyz_fl
+
+        def flat_field(key, xyz, d):
+            def f(p):
+                sig, rgb = model(p, xyz + 1e-9 * jax.random.uniform(key, ()),
+                                 d)
+                return sig.sum() + rgb.sum()
+            g = jax.grad(f)(params)
+            return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+        ms = timed_loop(flat_field, args.iters, xyz_f0, d_f0)
+        print(f"flat field fwd+bwd ({b} samples): {ms:.2f} ms")
+
+        sigf0, rgbf0 = jax.jit(lambda: model(params, xyz_f0, d_f0))()
+
+        def flat_comp(key, sig2, rgb2):
+            def f(sr):
+                sig, rgb = sr
+                sig = jnp.where(valid0,
+                                sig + 1e-9 * jax.random.uniform(key, ()), 0.0)
+                comp = composite_train_flat(sig, rgb, dt_f0, ts_f0, valid0,
+                                            ray_id0, offs0, n,
+                                            rcfg.T_threshold, block=blk)
+                out = comp.rgb + (1.0 - comp.opacity)[:, None]
+                loss = ((out - rgb_gt) ** 2).mean()
+                o = comp.opacity + 1e-10
+                return loss + 1e-3 * (-o * jnp.log(o)).mean()
+            l, g = jax.value_and_grad(f)((sig2, rgb2))
+            return l + g[0].sum() + g[1].sum()
+
+        ms = timed_loop(flat_comp, args.iters, sigf0, rgbf0)
+        print(f"flat composite+loss fwd+bwd: {ms:.2f} ms")
 
     def full_step(key):
         def loss_fn(p):

@@ -163,28 +163,34 @@ def gather_rows_sorted(table, ray_id, offsets, block=SEG_BLOCK):
 
 
 def _gather_rows_fwd(table, ray_id, offsets, block):
-    return table[ray_id], (ray_id, offsets, table.dtype)
+    # dtype rides along as a zero-size array: residuals must be JAX types
+    # (a raw np.dtype fails when the VJP is staged inside control flow)
+    return table[ray_id], (ray_id, offsets, jnp.zeros((0,), table.dtype))
 
 
 def _gather_rows_bwd(block, res, g):
-    ray_id, offsets, dtype = res
-    return (seg_sum(g.astype(jnp.float32), offsets, block).astype(dtype),
-            None, None)
+    ray_id, offsets, dt_carrier = res
+    return (seg_sum(g.astype(jnp.float32), offsets,
+                    block).astype(dt_carrier.dtype), None, None)
 
 
 gather_rows_sorted.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
-    """Segment-exclusive prefix sum over a (B,) ray-ordered flat array.
+    """Segment-exclusive prefix sum over a ray-ordered flat array.
 
-    offsets: (N,) exclusive segment starts; ray_id: (B,). The TPU substitute
-    for per-segment scans (no scatter, no sort): one block-local cumsum plus
-    a few gathers. Exact under the content-window invariant (SEG_BLOCK) —
-    a segment's content spans at most blocks {bb, bb+1} (bb = the block of
-    start-1), so the prefix difference needs at most those two block totals;
-    slots past the content window reconstruct the full content sum exactly
-    because later block totals are zero. ``n_rays`` is unused (API compat).
+    x: (B,) or (B, C) — the columns of a 2-D x share ONE pass of the
+    structural gathers (gather cost on this chip is per ROW, not per byte,
+    docs/TPU_NOTES.md), so callers needing several exclusive sums over the
+    same segment structure should stack them. offsets: (N,) exclusive
+    segment starts; ray_id: (B,). The TPU substitute for per-segment scans
+    (no scatter, no sort): one block-local cumsum plus a few gathers. Exact
+    under the content-window invariant (SEG_BLOCK) — a segment's content
+    spans at most blocks {bb, bb+1} (bb = the block of start-1), so the
+    prefix difference needs at most those two block totals; slots past the
+    content window reconstruct the full content sum exactly because later
+    block totals are zero. ``n_rays`` is unused (API compat).
     """
     del n_rays
     loc, totals = _blocked_prefix(x, block)
@@ -196,8 +202,14 @@ def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
     j = jnp.maximum(beg - 1, 0)
     bb = jnp.where(has_before, j // block, 0)
     b_i = i // block
-    t1 = jnp.where(b_i > bb, totals[jnp.minimum(bb, nb - 1)], 0.0)
-    t2 = jnp.where(b_i > bb + 1, totals[jnp.minimum(bb + 1, nb - 1)], 0.0)
+    c1 = b_i > bb
+    c2 = b_i > bb + 1
+    if x.ndim == 2:
+        has_before = has_before[:, None]
+        c1 = c1[:, None]
+        c2 = c2[:, None]
+    t1 = jnp.where(c1, totals[jnp.minimum(bb, nb - 1)], 0.0)
+    t2 = jnp.where(c2, totals[jnp.minimum(bb + 1, nb - 1)], 0.0)
     base = jnp.where(has_before, loc[j], 0.0)
     return (t1 + t2) + ((loc - x) - base)
 
@@ -235,14 +247,21 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
     include = (t_excl > T_threshold) & valid
     w = jnp.where(include, alpha * t_excl, 0.0)
 
+    # stack the per-sample columns so the structural gathers of the segment
+    # helpers run ONCE over (B, C) rows instead of once per column (gather
+    # cost is per row — the flat composite was 7.9 of the 17.4 ms step
+    # before stacking, docs/TPU_NOTES.md)
+    wm = w * ts
+    cols = jnp.concatenate(
+        [w[:, None], wm[:, None], w[:, None] * rgbs.astype(jnp.float32)],
+        axis=1)                                                   # (B, 5)
     # seg_sum is a cumsum difference: cancellation can produce -epsilon,
     # which the opacity-entropy loss (o*log o) would turn into NaN
-    opacity = jnp.maximum(seg_sum(w, offsets, block), 0.0)
-    depth = jnp.maximum(seg_sum(w * ts, offsets, block), 0.0)
-    rgb = jnp.maximum(seg_sum(w[:, None] * rgbs.astype(jnp.float32),
-                              offsets, block), 0.0)
-    w_excl = seg_excl_cumsum(w, ray_id, offsets, n_rays, block)
-    wm_excl = seg_excl_cumsum(w * ts, ray_id, offsets, n_rays, block)
+    sums = jnp.maximum(seg_sum(cols, offsets, block), 0.0)        # (N, 5)
+    opacity, depth, rgb = sums[:, 0], sums[:, 1], sums[:, 2:5]
+    excl2 = seg_excl_cumsum(jnp.stack([w, wm], axis=1), ray_id,
+                            offsets, n_rays, block)               # (B, 2)
+    w_excl, wm_excl = excl2[:, 0], excl2[:, 1]
     return FlatCompositeResults(
         opacity=opacity, depth=depth, rgb=rgb, ws=w, w_excl=w_excl,
         wm_excl=wm_excl, vr_samples=include.sum())
@@ -279,11 +298,16 @@ def composite_test_step_flat(sigmas, rgbs, deltas, ts, valid, ray_id,
     include = (t_excl > T_threshold) & valid
     w = jnp.where(include, alpha * t_excl, 0.0)
 
-    opacity = opacity + seg_sum(w, offsets, block)
-    depth = depth + seg_sum(w * ts, offsets, block)
-    rgb = rgb + seg_sum(w[:, None] * rgbs.astype(jnp.float32), offsets, block)
+    # stacked columns: one structural pass for all per-ray accumulations
+    cols = jnp.concatenate(
+        [w[:, None], (w * ts)[:, None],
+         w[:, None] * rgbs.astype(jnp.float32), sd[:, None]], axis=1)
+    sums = seg_sum(cols, offsets, block)                          # (N, 6)
+    opacity = opacity + sums[:, 0]
+    depth = depth + sums[:, 1]
+    rgb = rgb + sums[:, 2:5]
 
-    t_final = t_start * jnp.exp(-seg_sum(sd, offsets, block))
+    t_final = t_start * jnp.exp(-sums[:, 5])
     alive = alive & (t_final > T_threshold)
     return opacity, depth, rgb, alive
 
