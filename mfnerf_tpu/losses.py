@@ -40,15 +40,18 @@ def distortion_loss(ws, deltas, ts, mask):
 
 
 def distortion_loss_flat(ws, w_excl, wm_excl, deltas, ts, offsets,
-                         block=None):
+                         block=None, ray_id=None):
     """Distortion loss over flat ray-ordered samples (same closed form as
     :func:`distortion_loss`, with the exclusive prefix sums precomputed by
     the flat compositor). Returns (N,) per-ray losses. ``block`` is the
     static content-window bound of the flat layout (ops/composite.SEG_BLOCK
-    when omitted)."""
-    from .ops.composite import SEG_BLOCK, seg_sum
+    when omitted). Passing ``ray_id`` uses the scatter-free linear adjoint
+    (ops/composite.seg_sum_l) — required for the fast backward."""
+    from .ops.composite import SEG_BLOCK, seg_sum, seg_sum_l
     pair = 2.0 * (ws * (ts * w_excl - wm_excl))
     uni = ws * ws * deltas / 3.0
+    if ray_id is not None:
+        return seg_sum_l(pair + uni, ray_id, offsets, block or SEG_BLOCK)
     return seg_sum(pair + uni, offsets, block or SEG_BLOCK)
 
 
@@ -75,7 +78,8 @@ class NeRFLoss:
                         results["ws_flat"], results["w_excl_flat"],
                         results["wm_excl_flat"], results["deltas_flat"],
                         results["ts_flat"], results["offsets"],
-                        block=blk if isinstance(blk, int) else None))
+                        block=blk if isinstance(blk, int) else None,
+                        ray_id=results.get("ray_id_flat")))
             else:
                 d["distortion"] = self.lambda_distortion * distortion_loss(
                     results["ws"], results["deltas"], results["ts"],

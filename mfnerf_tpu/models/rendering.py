@@ -257,6 +257,7 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
             "ws_flat": comp.ws, "w_excl_flat": comp.w_excl,
             "wm_excl_flat": comp.wm_excl, "deltas_flat": deltas_f,
             "ts_flat": ts_f, "offsets": offsets, "flat_block": blk,
+            "ray_id_flat": ray_id,
         }
     else:
         xyz_flat = mr.xyzs.reshape(n * s, 3)

@@ -122,7 +122,13 @@ def seg_sum(x, offsets, block=SEG_BLOCK):
     offsets: (N,) exclusive starts. Exact under the content-window invariant
     (see :data:`SEG_BLOCK`): the inclusive segment end is clamped into
     [start, start + block), which drops only slots that are zero by the
-    invariant, so the difference spans at most one block boundary."""
+    invariant, so the difference spans at most one block boundary.
+
+    Plain (autodiff) version for non-differentiated contexts; inside a
+    training loss use :func:`seg_sum_l` — autodiff of the boundary gathers
+    here transposes into B-element scatter-adds (~60 ns/update,
+    docs/TPU_NOTES.md), which dominated the flat compositing backward
+    (7.9 ms of the 17 ms step at the bench config, profile_stages)."""
     loc, totals = _blocked_prefix(x, block)
     b = x.shape[0]
     seg_end = jnp.concatenate(
@@ -144,6 +150,43 @@ def seg_sum(x, offsets, block=SEG_BLOCK):
     t1 = jnp.where(carry_on, t1, 0.0)
     base = jnp.where(has_before, base, 0.0)
     return jnp.where(nonempty, t1 + (loc[end_c] - base), 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def seg_sum_l(x, ray_id, offsets, block=SEG_BLOCK):
+    """:func:`seg_sum` with an exact LINEAR custom adjoint (scatter-free).
+
+    seg_sum is linear in x: y[r] = sum of x over segment r's content window
+    [start_r, start_r + block). Its adjoint is therefore a broadcast —
+    dx[i] = g[ray_id[i]] for i inside its segment's window, 0 past it (the
+    forward's end-clamp drops those slots) — i.e. one sorted B-row gather
+    instead of the scatter-adds autodiff derives by transposing the
+    forward's boundary gathers. ``ray_id`` is only read by the adjoint.
+
+    An earlier linear-adjoint probe against the compensated TwoSum-scan
+    helpers measured SLOWER (R3 queue, 2026-08-18) because its adjoint
+    re-ran the expensive compensated scan; the blocked helpers' adjoint is
+    a plain gather + compare, which is where the win comes from.
+    """
+    return seg_sum(x, offsets, block)
+
+
+def _seg_sum_l_fwd(x, ray_id, offsets, block):
+    return seg_sum(x, offsets, block), (ray_id, offsets)
+
+
+def _seg_sum_l_bwd(block, res, g):
+    ray_id, offsets = res
+    b = ray_id.shape[0]
+    beg = jnp.take(offsets, ray_id)
+    in_window = (jnp.arange(b, dtype=jnp.int32) - beg) < block
+    dx = jnp.take(g, ray_id, axis=0)
+    if g.ndim == 2:
+        in_window = in_window[:, None]
+    return jnp.where(in_window, dx, 0.0), None, None
+
+
+seg_sum_l.defvjp(_seg_sum_l_fwd, _seg_sum_l_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -191,8 +234,51 @@ def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
     prefix difference needs at most those two block totals; slots past the
     content window reconstruct the full content sum exactly because later
     block totals are zero. ``n_rays`` is unused (API compat).
+
+    Differentiable with an exact LINEAR custom adjoint: the map is
+    y[i] = sum_{j<i in segment} x[j], whose transpose is the segment-
+    exclusive SUFFIX sum dx[i] = sum_{j>i in segment} g[j] =
+    segtotal[ray_id[i]] - y_g[i] - g[i] — one more blocked-prefix pass +
+    two sorted B-row gathers. Autodiff instead transposes the forward's
+    boundary gathers (loc[j], totals[bb]) into B-element scatter-adds
+    (~60 ns/update): the flat compositing backward was 7.9 of the 17 ms
+    bench step before this adjoint (profile_stages, 2026-08-19). The
+    adjoint is that of the map AS COMPUTED: cross-segment block-total
+    terms cancel exactly (t1/t2 index only whole blocks straddling a
+    segment's start, and base = loc[j] subtracts the same contributions),
+    and positions past a segment's content window — whose dependency the
+    forward's two-block-total truncation drops — get a zero cotangent.
     """
     del n_rays
+    return _seg_excl_vjp(x, ray_id, offsets, block)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _seg_excl_vjp(x, ray_id, offsets, block):
+    return _seg_excl_impl(x, ray_id, offsets, block)
+
+
+def _seg_excl_fwd(x, ray_id, offsets, block):
+    return _seg_excl_impl(x, ray_id, offsets, block), (ray_id, offsets)
+
+
+def _seg_excl_bwd(block, res, g):
+    ray_id, offsets = res
+    b = ray_id.shape[0]
+    segtot = seg_sum(g, offsets, block)
+    y_g = _seg_excl_impl(g, ray_id, offsets, block)
+    dx = jnp.take(segtot, ray_id, axis=0) - y_g - g
+    beg = jnp.take(offsets, ray_id)
+    in_window = (jnp.arange(b, dtype=jnp.int32) - beg) < block
+    if g.ndim == 2:
+        in_window = in_window[:, None]
+    return jnp.where(in_window, dx, 0.0), None, None
+
+
+_seg_excl_vjp.defvjp(_seg_excl_fwd, _seg_excl_bwd)
+
+
+def _seg_excl_impl(x, ray_id, offsets, block):
     loc, totals = _blocked_prefix(x, block)
     b = x.shape[0]
     nb = totals.shape[0]
@@ -257,7 +343,7 @@ def composite_train_flat(sigmas, rgbs, deltas, ts, valid, ray_id, offsets,
         axis=1)                                                   # (B, 5)
     # seg_sum is a cumsum difference: cancellation can produce -epsilon,
     # which the opacity-entropy loss (o*log o) would turn into NaN
-    sums = jnp.maximum(seg_sum(cols, offsets, block), 0.0)        # (N, 5)
+    sums = jnp.maximum(seg_sum_l(cols, ray_id, offsets, block), 0.0)  # (N,5)
     opacity, depth, rgb = sums[:, 0], sums[:, 1], sums[:, 2:5]
     excl2 = seg_excl_cumsum(jnp.stack([w, wm], axis=1), ray_id,
                             offsets, n_rays, block)               # (B, 2)
