@@ -50,7 +50,10 @@ def _flat_layout_arrays(mr0, b, s):
     marks = jnp.zeros((b,), jnp.int32).at[offsets].add(
         1, mode="drop", indices_are_sorted=True)
     ray_id = jnp.cumsum(marks) - 1
-    pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
+    import jax as _jax
+    beg = _jax.lax.cummax(
+        jnp.where(marks > 0, jnp.arange(b, dtype=jnp.int32), 0))
+    pos = jnp.arange(b, dtype=jnp.int32) - beg
     valid = jnp.arange(b) < total
     k_f = mr0.k_idx[ray_id, jnp.minimum(pos, s - 1)]
     return ray_id, offsets, k_f, valid
@@ -222,7 +225,9 @@ def main():
             marks = jnp.zeros((b,), jnp.int32).at[offsets].add(
                 1, mode="drop", indices_are_sorted=True)
             ray_id = jnp.cumsum(marks) - 1
-            pos = jnp.arange(b, dtype=jnp.int32) - offsets[ray_id]
+            beg = jax.lax.cummax(
+                jnp.where(marks > 0, jnp.arange(b, dtype=jnp.int32), 0))
+            pos = jnp.arange(b, dtype=jnp.int32) - beg
             k_f = mr0.k_idx[ray_id, jnp.minimum(pos, s - 1)]
             return (ray_id + pos + k_f).sum().astype(jnp.float32)
 

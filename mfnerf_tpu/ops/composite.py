@@ -152,6 +152,61 @@ def seg_sum(x, offsets, block=SEG_BLOCK):
     return jnp.where(nonempty, t1 + (loc[end_c] - base), 0.0)
 
 
+def _segment_flags(ray_id):
+    """(B,) bool — True at each segment's first slot. Gather-free: on the
+    sorted ray_id a segment starts exactly where the id changes (empty
+    segments collapse onto the next nonempty one's start, which is the
+    correct scan-reset semantics — they have no slots to reset)."""
+    return jnp.concatenate(
+        [jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]])
+
+
+def _segscan(x, flags, reverse=False):
+    """Segmented inclusive scan: per-slot sum of its segment's prefix.
+
+    ONE lax.associative_scan with the classic (flag, value) reset operator
+    — measured 0.47 ms at B=131072 on this chip vs 2.83 ms for the blocked
+    gather-based reconstruction it replaced (benchmarking/probe_segscan.py,
+    2026-08-19): the blocked scheme paid ~4 B-element structural gathers
+    (~1 ms each) per pass, while the scan is a pure VPU pipeline. Numerics:
+    the operator RESETS at segment boundaries, so magnitudes stay
+    segment-local by construction — the fp32 global-prefix catastrophe that
+    motivated the blocked scheme (prefix ~1e7, ulp ~1, e^{+-1} transmittance
+    errors) cannot occur at any batch size.
+
+    ``reverse=True`` computes the segmented inclusive SUFFIX scan (the
+    transpose direction): the reversed array's segment starts are the
+    original segment ENDS (slot i is an end iff slot i+1 is a start).
+    """
+    f = flags
+    if reverse:
+        f = jnp.concatenate([flags[1:], jnp.ones((1,), bool)])
+        x = jnp.flip(x, 0)
+        f = jnp.flip(f, 0)
+    expand = (Ellipsis,) + (None,) * (x.ndim - 1)
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, vb + va * (1.0 - fb.astype(va.dtype)[expand])
+
+    _, y = jax.lax.associative_scan(op, (f, x), axis=0)
+    return jnp.flip(y, 0) if reverse else y
+
+
+def _content_window_mask(ray_id, offsets, block, ndim):
+    """(B,) bool — True where slot i lies inside its segment's content
+    window [offsets[ray_id[i]], offsets[ray_id[i]] + block). Broadcast to
+    ``ndim`` dims so it applies directly to (B,) or (B, C) cotangents.
+    Shared by the segment-helper adjoints below."""
+    b = ray_id.shape[0]
+    beg = jnp.take(offsets, ray_id)
+    m = (jnp.arange(b, dtype=jnp.int32) - beg) < block
+    if ndim == 2:
+        m = m[:, None]
+    return m
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def seg_sum_l(x, ray_id, offsets, block=SEG_BLOCK):
     """:func:`seg_sum` with an exact LINEAR custom adjoint (scatter-free).
@@ -161,7 +216,13 @@ def seg_sum_l(x, ray_id, offsets, block=SEG_BLOCK):
     dx[i] = g[ray_id[i]] for i inside its segment's window, 0 past it (the
     forward's end-clamp drops those slots) — i.e. one sorted B-row gather
     instead of the scatter-adds autodiff derives by transposing the
-    forward's boundary gathers. ``ray_id`` is only read by the adjoint.
+    forward's boundary gathers.
+
+    ``ray_id`` is only read by the adjoint, and MUST be consistent with
+    ``offsets``: ray_id[i] = r iff offsets[r] <= i < offsets[r+1], with any
+    tail padding assigned to the last ray. The forward ignores ray_id, so an
+    inconsistent pair yields a correct forward with a silently wrong
+    backward.
 
     An earlier linear-adjoint probe against the compensated TwoSum-scan
     helpers measured SLOWER (R3 queue, 2026-08-18) because its adjoint
@@ -177,12 +238,8 @@ def _seg_sum_l_fwd(x, ray_id, offsets, block):
 
 def _seg_sum_l_bwd(block, res, g):
     ray_id, offsets = res
-    b = ray_id.shape[0]
-    beg = jnp.take(offsets, ray_id)
-    in_window = (jnp.arange(b, dtype=jnp.int32) - beg) < block
     dx = jnp.take(g, ray_id, axis=0)
-    if g.ndim == 2:
-        in_window = in_window[:, None]
+    in_window = _content_window_mask(ray_id, offsets, block, dx.ndim)
     return jnp.where(in_window, dx, 0.0), None, None
 
 
@@ -223,62 +280,50 @@ gather_rows_sorted.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
     """Segment-exclusive prefix sum over a ray-ordered flat array.
 
-    x: (B,) or (B, C) — the columns of a 2-D x share ONE pass of the
-    structural gathers (gather cost on this chip is per ROW, not per byte,
-    docs/TPU_NOTES.md), so callers needing several exclusive sums over the
-    same segment structure should stack them. offsets: (N,) exclusive
-    segment starts; ray_id: (B,). The TPU substitute for per-segment scans
-    (no scatter, no sort): one block-local cumsum plus a few gathers. Exact
-    under the content-window invariant (SEG_BLOCK) — a segment's content
-    spans at most blocks {bb, bb+1} (bb = the block of start-1), so the
-    prefix difference needs at most those two block totals; slots past the
-    content window reconstruct the full content sum exactly because later
-    block totals are zero. ``n_rays`` is unused (API compat).
+    x: (B,) or (B, C); ray_id: (B,) sorted segment id per slot (must be
+    consistent with ``offsets``: ray_id[i] = r iff offsets[r] <= i <
+    offsets[r+1], tail padding assigned to the last ray). Implemented as
+    ONE segmented associative scan (:func:`_segscan`) — EXACT for every
+    slot and every segment length (no content-window precondition), with
+    segment-local fp32 magnitudes by construction. ``offsets``/``n_rays``/
+    ``block`` are unused by this implementation and kept for API
+    compatibility with the blocked helpers (:func:`seg_sum`).
 
-    Differentiable with an exact LINEAR custom adjoint: the map is
-    y[i] = sum_{j<i in segment} x[j], whose transpose is the segment-
-    exclusive SUFFIX sum dx[i] = sum_{j>i in segment} g[j] =
-    segtotal[ray_id[i]] - y_g[i] - g[i] — one more blocked-prefix pass +
-    two sorted B-row gathers. Autodiff instead transposes the forward's
-    boundary gathers (loc[j], totals[bb]) into B-element scatter-adds
-    (~60 ns/update): the flat compositing backward was 7.9 of the 17 ms
-    bench step before this adjoint (profile_stages, 2026-08-19). The
-    adjoint is that of the map AS COMPUTED: cross-segment block-total
-    terms cancel exactly (t1/t2 index only whole blocks straddling a
-    segment's start, and base = loc[j] subtracts the same contributions),
-    and positions past a segment's content window — whose dependency the
-    forward's two-block-total truncation drops — get a zero cotangent.
+    Differentiable with the exact LINEAR custom adjoint: the transpose of
+    the segment-exclusive prefix sum is the segment-exclusive SUFFIX sum,
+    dx[i] = sum_{j>i in segment} g[j] — one reversed segmented scan. Exact
+    for arbitrary cotangents (closing ADVICE r3's past-window-cotangent
+    finding outright: there is no truncated window anymore). Autodiff of
+    the scan would instead transpose its slice/concat lattice into a far
+    larger program; the custom rule keeps the backward at one scan.
     """
-    del n_rays
-    return _seg_excl_vjp(x, ray_id, offsets, block)
+    del n_rays, offsets, block
+    return _seg_excl_vjp(x, ray_id)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _seg_excl_vjp(x, ray_id, offsets, block):
-    return _seg_excl_impl(x, ray_id, offsets, block)
+@jax.custom_vjp
+def _seg_excl_vjp(x, ray_id):
+    return _segscan(x, _segment_flags(ray_id)) - x
 
 
-def _seg_excl_fwd(x, ray_id, offsets, block):
-    return _seg_excl_impl(x, ray_id, offsets, block), (ray_id, offsets)
+def _seg_excl_fwd(x, ray_id):
+    flags = _segment_flags(ray_id)
+    return _segscan(x, flags) - x, flags
 
 
-def _seg_excl_bwd(block, res, g):
-    ray_id, offsets = res
-    b = ray_id.shape[0]
-    segtot = seg_sum(g, offsets, block)
-    y_g = _seg_excl_impl(g, ray_id, offsets, block)
-    dx = jnp.take(segtot, ray_id, axis=0) - y_g - g
-    beg = jnp.take(offsets, ray_id)
-    in_window = (jnp.arange(b, dtype=jnp.int32) - beg) < block
-    if g.ndim == 2:
-        in_window = in_window[:, None]
-    return jnp.where(in_window, dx, 0.0), None, None
+def _seg_excl_bwd(flags, g):
+    return _segscan(g, flags, reverse=True) - g, None
 
 
 _seg_excl_vjp.defvjp(_seg_excl_fwd, _seg_excl_bwd)
 
 
 def _seg_excl_impl(x, ray_id, offsets, block):
+    """Blocked (gather-based) segment-exclusive cumsum — SUPERSEDED by the
+    segmented scan in :func:`seg_excl_cumsum` (measured 2.83 vs 0.47 ms at
+    B=131072, benchmarking/probe_segscan.py). Retained as the probe's
+    comparison point and as a second implementation for cross-checks; only
+    exact within each segment's content window (see :data:`SEG_BLOCK`)."""
     loc, totals = _blocked_prefix(x, block)
     b = x.shape[0]
     nb = totals.shape[0]

@@ -106,7 +106,8 @@ def _occupancy_at(xyz, dt, density_bitfield, cascades, scale, grid_size):
 
 def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
                      scale, exp_step_factor, grid_size, max_samples, noise,
-                     n_rungs, s_max, dt_scale=None) -> MarchResults:
+                     n_rungs, s_max, dt_scale=None,
+                     rank_start=0) -> MarchResults:
     """March training rays through the occupancy grid.
 
     Args:
@@ -123,6 +124,12 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
         s_max: static S — per-ray sample-buffer width.
         dt_scale: value fed to calc_dt as "scale" (defaults to ``scale``;
             test marching passes ``cascades`` for bug parity, see module doc).
+        rank_start: static rank offset — return each ray's occupied samples
+            ranked rank_start+1 .. rank_start+s_max instead of the first
+            s_max. ceil(max_samples/s_max) such windows cover EVERY sample
+            the MAX_SAMPLES cap admits: the dense oracle's resume mechanism
+            (rendering.py _render_test_chunk), replacing its former silent
+            256-sample truncation.
 
     Returns:
         :class:`MarchResults` with padded (N, S) sample rows.
@@ -150,11 +157,19 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
     csum = jnp.cumsum(occ.astype(jnp.int32), axis=1)              # (N, K)
     occ = occ & (csum <= max_samples)  # per-ray cap (raymarching.cu:204)
     n_total = jnp.minimum(csum[:, -1], max_samples)
-    n_samples = jnp.minimum(n_total, s_max).astype(jnp.int32)
+    n_samples = jnp.clip(n_total - rank_start, 0, s_max).astype(jnp.int32)
 
-    # compaction: rung index of the s-th occupied sample = first k with
-    # csum[k] == s+1 (compare-reduce; see compact_rung_indices)
-    k_idx = jnp.minimum(compact_rung_indices(csum, s_max), n_rungs - 1)
+    # compaction: rung index of the (rank_start+s)-th occupied sample =
+    # first k with csum[k] == rank_start+s+1 (compare-reduce; see
+    # compact_rung_indices)
+    if rank_start:
+        ranks = jnp.broadcast_to(
+            rank_start + jnp.arange(1, s_max + 1, dtype=jnp.int32)[None, :],
+            (n, s_max))
+        k_idx = jnp.minimum(compact_rung_indices_at(csum, ranks),
+                            n_rungs - 1)
+    else:
+        k_idx = jnp.minimum(compact_rung_indices(csum, s_max), n_rungs - 1)
     queries = jnp.arange(1, s_max + 1, dtype=jnp.int32)
     mask = queries[None, :] <= n_samples[:, None]                 # (N, S)
 

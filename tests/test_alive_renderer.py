@@ -249,3 +249,39 @@ def test_chunked_padded_eval_matches_unchunked():
                                np.asarray(res_un["opacity"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_ch["depth"]),
                                np.asarray(res_un["depth"]), atol=1e-6)
+
+
+def test_dense_oracle_resumes_past_s_max_test():
+    """r3 VERDICT weak #4: the dense oracle used to march at most
+    s_max_test occupied rungs in ONE pass with no resume, silently
+    under-compositing any ray with more content. It now composites in
+    ceil(max_samples / s_max_test) rank windows, so a fully-occupied grid
+    (every ray carries ~max_samples occupied rungs, far beyond a small
+    s_max_test) must render identically at s_max_test=32 and 256 — and the
+    wavefront renderer must still match that oracle."""
+    model, params, occ, rays_o, rays_d = _setup()
+    # force EVERY cell occupied (the _setup fill is an AND-mask over random
+    # bytes, ~50% occupancy — not dense enough to overrun s_max_test=32)
+    occ = dataclasses.replace(
+        occ, density_bitfield=jnp.full_like(occ.density_bitfield, 255)
+    ).refresh_coarse(model.cfg)
+    small = RenderConfig(max_samples=128, s_max_test=32, test_chunk=512)
+    big = RenderConfig(max_samples=128, s_max_test=256, test_chunk=512)
+    res_small = render_test_dense(model, params, occ, rays_o, rays_d, small)
+    res_big = render_test_dense(model, params, occ, rays_o, rays_d, big)
+    # the scene must actually exceed the small budget per ray on average,
+    # or this test proves nothing
+    assert res_big["total_samples"] > 32 * rays_o.shape[0]
+    np.testing.assert_allclose(np.asarray(res_small["rgb"]),
+                               np.asarray(res_big["rgb"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_small["opacity"]),
+                               np.asarray(res_big["opacity"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_small["depth"]),
+                               np.asarray(res_big["depth"]), atol=2e-3)
+
+    wf = dataclasses.replace(small, wavefront=(64, 0, 64, 16))
+    res_wf = render_test(model, params, occ, rays_o, rays_d, wf)
+    np.testing.assert_allclose(np.asarray(res_wf["rgb"]),
+                               np.asarray(res_big["rgb"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_wf["opacity"]),
+                               np.asarray(res_big["opacity"]), atol=2e-4)

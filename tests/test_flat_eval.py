@@ -119,3 +119,63 @@ def test_segment_helpers_survive_large_global_prefix():
     s2 = np.asarray(seg_sum(jnp.asarray(x2), jnp.asarray(offsets)))
     ref2 = x2.astype(np.float64).reshape(n, length, 2).sum(axis=1)
     np.testing.assert_allclose(s2, ref2, atol=1e-4)
+
+
+def test_seg_excl_values_and_adjoint_exact_for_arbitrary_cotangents():
+    """ADVICE r3 (medium) closed structurally: seg_excl_cumsum is now a
+    segmented associative scan — exact for EVERY slot and segment length
+    (no content-window precondition), and its custom adjoint (the reversed
+    segmented scan) is the exact transpose for ARBITRARY cotangents,
+    including ones supported past any nominal content window. Checked
+    against a dense O(n^2) reference on ragged segments with tail padding,
+    long segments (> SEG_BLOCK would-be window), and junk cotangents
+    everywhere."""
+    from mfnerf_tpu.ops.composite import seg_excl_cumsum, seg_sum_l
+
+    rng = np.random.default_rng(3)
+    n, block = 8, 16
+    # include a segment LONGER than the nominal block to prove the scan
+    # has no window truncation
+    lengths = np.array([3, 40, 1, 0, 16, 7, 25, 2])
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+    b = int(lengths.sum()) + 5  # tail padding past the last segment
+    ray_id = np.searchsorted(offsets, np.arange(b), side="right") - 1
+    ray_id = ray_id.astype(np.int32)
+    x = rng.normal(size=(b,)).astype(np.float32)
+    g = rng.normal(size=(b,)).astype(np.float32)
+
+    y = np.asarray(seg_excl_cumsum(jnp.asarray(x), jnp.asarray(ray_id),
+                                   jnp.asarray(offsets), n, block=block))
+
+    def seg_bounds(r):
+        lo = offsets[r]
+        hi = offsets[r + 1] if r + 1 < n else b
+        return lo, hi
+
+    ref_y = np.zeros(b)
+    ref_dx = np.zeros(b)
+    for r in range(n):
+        lo, hi = seg_bounds(r)
+        for i in range(lo, hi):
+            ref_y[i] = x[lo:i].astype(np.float64).sum()
+            ref_dx[i] = g[i + 1:hi].astype(np.float64).sum()
+    np.testing.assert_allclose(y, ref_y, rtol=1e-5, atol=1e-5)
+
+    def f(xx):
+        return (seg_excl_cumsum(xx, jnp.asarray(ray_id),
+                                jnp.asarray(offsets), n, block=block)
+                * jnp.asarray(g)).sum()
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    np.testing.assert_allclose(grad, ref_dx, rtol=1e-5, atol=1e-5)
+
+    # seg_sum_l keeps the blocked content-window contract: its broadcast
+    # adjoint is zero past the window (callers guarantee zero content there)
+    in_window = (np.arange(b) - offsets[ray_id]) < block
+
+    def f2(xx):
+        return (seg_sum_l(xx, jnp.asarray(ray_id), jnp.asarray(offsets),
+                          block=block) ** 2).sum()
+    grad2 = np.asarray(jax.grad(f2)(jnp.asarray(x)))
+    assert np.isfinite(grad2).all()
+    assert (grad2[~in_window] == 0).all()
