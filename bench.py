@@ -200,9 +200,9 @@ def main():
         fps_rcfg = dataclasses.replace(
             system.rcfg, T_threshold=args.fps_t_threshold)
         if args.fps_wavefront:
-            wf = (None if args.fps_wavefront.lower() == "none" else
-                  tuple(int(x) for x in args.fps_wavefront.split(",")))
-            fps_rcfg = dataclasses.replace(fps_rcfg, wavefront=wf)
+            from mfnerf_tpu.models.rendering import parse_wavefront
+            fps_rcfg = dataclasses.replace(
+                fps_rcfg, wavefront=parse_wavefront(args.fps_wavefront))
         # a ring of DISTINCT poses: identical dispatches are memoized by the
         # tunnel server (docs/TPU_NOTES.md), and distinct frames are what a
         # real orbit/GUI renders

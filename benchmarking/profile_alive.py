@@ -42,8 +42,9 @@ def _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
     oracle = render_test_dense(model, params, occ, rays_o, rays_d,
                                dataclasses.replace(rcfg, test_chunk=16384))
     _sync(oracle["rgb"])
+    from mfnerf_tpu.models.rendering import parse_wavefront
     for name, wf in json.loads(args.wavefronts).items():
-        r2 = dataclasses.replace(rcfg, wavefront=tuple(int(x) for x in wf))
+        r2 = dataclasses.replace(rcfg, wavefront=parse_wavefront(wf))
         out = _render_test_wavefront(model, params, occ, rays_o, rays_d,
                                      r2, t_near, t_far)
         _sync(out[0])

@@ -53,9 +53,9 @@ def main():
     system.rcfg = dataclasses.replace(system.rcfg,
                                       T_threshold=extra_args.t_threshold)
     if extra_args.wavefront:
-        wf = (None if extra_args.wavefront.lower() == "none" else
-              tuple(int(x) for x in extra_args.wavefront.split(",")))
-        system.rcfg = dataclasses.replace(system.rcfg, wavefront=wf)
+        from mfnerf_tpu.models.rendering import parse_wavefront
+        system.rcfg = dataclasses.replace(
+            system.rcfg, wavefront=parse_wavefront(extra_args.wavefront))
     # --num_gpus > 1: DP rendering, rays sharded over the device mesh
     # (models/rendering.render_test_sharded)
     mesh = system.mesh if getattr(hparams, "num_gpus", 1) > 1 else None

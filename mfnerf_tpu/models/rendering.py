@@ -145,6 +145,33 @@ class RenderConfig:
         return scale
 
 
+def parse_wavefront(spec):
+    """Parse a wavefront tuple from CLI text / JSON lists.
+
+    ``"none"`` -> None (round-schedule renderer). Otherwise 4 comma-separated
+    fields ``P,seek,window,cap`` where ``P`` may be a colon-separated pool
+    CASCADE (e.g. ``"32768:2048,0,128,16"``); JSON callers may pass a list
+    whose first element is itself a list.
+    """
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        if spec.lower() == "none":
+            return None
+        parts = spec.split(",")
+    else:
+        parts = list(spec)
+    out = []
+    for i, p in enumerate(parts):
+        if i == 0 and isinstance(p, str) and ":" in p:
+            out.append(tuple(int(x) for x in p.split(":")))
+        elif i == 0 and isinstance(p, (list, tuple)):
+            out.append(tuple(int(x) for x in p))
+        else:
+            out.append(int(p))
+    return tuple(out)
+
+
 def _clamp_near(hits_t):
     """Clamp t_near into [NEAR_DISTANCE, inf) for hitting rays.
 
@@ -786,7 +813,18 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
     same T-threshold semantics, no capacity starvation possible.
 
     rcfg.wavefront = (P, seek_window, window, cap):
-        P           pool rows (clamped to the ray count)
+        P           pool rows (clamped to the ray count). May be a TUPLE of
+                    descending sizes (P0, P1, ...): a pool-size CASCADE.
+                    The r3 pool sweep found one static size trades off two
+                    regimes — big pools amortize the per-iteration machinery
+                    (the while-loop body's fixed fusion overhead dominates at
+                    P=2048: ~0.5 ms/iteration for ~31k emissions) but pay
+                    mostly-dead padded field evals once the queue drains and
+                    only stragglers remain (64k pool: 1.48 vs 2k: 2.74 fps).
+                    The cascade runs stage i's loop until the queue is
+                    drained AND <= P_{i+1} rows are alive, then compacts the
+                    alive rows into the next (smaller) pool — big-pool
+                    amortization for the bulk, small-pool fill for the tail.
         seek_window field-free coarse-seek rungs per iteration (0 skips
                     the seek phase; ignored without a coarse structure)
         window      content-march rungs per iteration
@@ -817,7 +855,16 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
                                     cfg.cascades)
 
     P, w_seek, w_len, s_cap = rcfg.wavefront
-    P = min(P, n)
+    pools = P if isinstance(P, tuple) else (P,)
+    # clamp to the ray count and keep strictly descending (a stage equal to
+    # or larger than its predecessor can never be entered)
+    desc = []
+    for p in pools:
+        p = min(int(p), n)
+        if not desc or p < desc[-1]:
+            desc.append(p)
+    pools = tuple(desc)
+    P = pools[0]
     w_seek = min(w_seek, k_total) if (stratum or c_stratum) else 0
     w_len = min(w_len, k_total)
 
@@ -858,13 +905,9 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
     vr0 = veil.astype(jnp.int32)
     q0 = jnp.minimum(jnp.int32(P), n_valid)
 
-    def cond(carry):
-        pool, out, q, vr, it = carry
-        return ((jnp.sum(pool[:, AL]) > 0) | (q < n_valid)) \
-            & (it < rcfg.wavefront_max_iters)
-
     def body(carry):
         pool, out, q, vr, it = carry
+        P = pool.shape[0]
         ro, rd = pool[:, O], pool[:, D]
         ts0, t2_r = pool[:, TS], pool[:, T2]
         cur = pool[:, CU].astype(jnp.int32)
@@ -941,8 +984,25 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
         q = q + jnp.sum(take.astype(jnp.int32))
         return pool, out, q, vr, it + 1
 
-    pool, out, q, vr_total, _ = jax.lax.while_loop(
-        cond, body, (pool0, out0, q0, vr0, jnp.int32(0)))
+    # pool-size cascade: stage i runs until the queue is drained and at
+    # most the NEXT stage's pool of rays is still alive, then the alive
+    # rows compact (stable top_k) into the smaller pool. The final stage's
+    # exit (next_p = 0) is completion itself.
+    carry = (pool0, out0, q0, vr0, jnp.int32(0))
+    for si, p_stage in enumerate(pools):
+        next_p = pools[si + 1] if si + 1 < len(pools) else 0
+
+        def cond(carry, next_p=next_p):
+            pool, out, q, vr, it = carry
+            return ((jnp.sum(pool[:, AL]) > next_p) | (q < n_valid)) \
+                & (it < rcfg.wavefront_max_iters)
+
+        if si:
+            pool, out, q, vr, it = carry
+            _, keep = jax.lax.top_k(pool[:, AL], p_stage)
+            carry = (pool[keep], out, q, vr, it)
+        carry = jax.lax.while_loop(cond, body, carry)
+    pool, out, q, vr_total, _ = carry
     return out[:, :3], out[:, 3], out[:, 4], vr_total
 
 

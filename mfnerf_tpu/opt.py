@@ -179,7 +179,9 @@ def get_opts(argv=None):
                              'wavefront, the measured winner), "none" falls '
                              'back to the round-schedule renderer, or '
                              '"P,seek,window,cap" sets an explicit pool '
-                             'config (see models/rendering.py '
+                             'config; P may be a colon-separated descending '
+                             'pool-size cascade, e.g. "32768:2048,0,128,16" '
+                             '(see models/rendering.py '
                              '_render_test_wavefront)')
     parser.add_argument('--multihost', action='store_true', default=False,
                         help='[tpu] call jax.distributed.initialize() for '

@@ -140,9 +140,9 @@ class NeRFSystem:
             s_flat=getattr(hparams, "s_flat", 0))
         wf = getattr(hparams, "wavefront", "auto")
         if wf != "auto":
+            from .models.rendering import parse_wavefront
             self.rcfg = dataclasses.replace(
-                self.rcfg, wavefront=None if str(wf).lower() == "none"
-                else tuple(int(x) for x in str(wf).split(",")))
+                self.rcfg, wavefront=parse_wavefront(str(wf)))
         self.loss = NeRFLoss(lambda_distortion=hparams.distortion_loss_w)
         self.density_threshold = 0.01 * MAX_SAMPLES / (3 ** 0.5)
         self.mesh = make_mesh(hparams.num_gpus)

@@ -214,7 +214,11 @@ def test_wavefront_matches_dense_oracle():
         rcfg0 = RenderConfig(max_samples=128, s_max_test=256,
                              test_chunk=512)
         dense = render_test_dense(model, params, occ, rays_o, rays_d, rcfg0)
-        for wf in ((64, 32, 32, 8), (17, 16, 16, 4), (128, 0, 64, 16)):
+        # the last two exercise the pool-size CASCADE (stage exits when the
+        # queue is drained and <= next-pool rays are alive, alive rows
+        # compact into the smaller pool) incl. a pool above the ray count
+        for wf in ((64, 32, 32, 8), (17, 16, 16, 4), (128, 0, 64, 16),
+                   ((128, 32), 0, 64, 8), ((1024, 96, 13), 16, 32, 4)):
             rcfg = dataclasses.replace(rcfg0, wavefront=wf)
             res = render_test(model, params, occ, rays_o, rays_d, rcfg)
             np.testing.assert_allclose(np.asarray(res["rgb"]),
