@@ -20,7 +20,8 @@ import numpy as np
 
 from ..ops.composite import (SEG_BLOCK, composite_test_step,
                              composite_test_step_flat, composite_train,
-                             composite_train_flat, gather_rows_sorted)
+                             composite_train_flat, gather_flat_rows,
+                             gather_rows_sorted)
 from ..ops.intersection import ray_aabb_intersect_single
 from ..ops.ray_march import (cascades_stratum, march_rays_train,
                              march_rays_train_cascades,
@@ -259,7 +260,6 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
             jnp.where(marks > 0, jnp.arange(b, dtype=jnp.int32), 0))
         pos = jnp.arange(b, dtype=jnp.int32) - beg
         valid = jnp.arange(b) < total
-        k_f = mr.k_idx[ray_id, jnp.minimum(pos, s - 1)]
 
         # content-window bound for the blocked segment helpers: no ray
         # emits more than s (= s_max_train) samples into its flat segment
@@ -267,8 +267,12 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
         packed = [rays_o, mr.dirs, mr.t_start[:, None]]
         if exposure is not None:
             packed.append(exposure)
-        row_f = gather_rows_sorted(jnp.concatenate(packed, axis=1),
-                                   ray_id, offsets, blk)
+        # one row gather fetches geometry AND the ray's rung row; the rung
+        # at pos is a select-sum, not a second B-element gather (~1 ms at
+        # the bench shapes, profile_stages r4)
+        row_f, k_f = gather_flat_rows(
+            jnp.concatenate(packed, axis=1), mr.k_idx.astype(jnp.float32),
+            ray_id, jnp.minimum(pos, s - 1), offsets, blk)
         o_f, d_f, t0_f = row_f[:, :3], row_f[:, 3:6], row_f[:, 6]
         exp_f = row_f[:, 7:8] if exposure is not None else None
         ts_f = t_ladder(t0_f, k_f[:, None], rcfg.exp_step_factor,

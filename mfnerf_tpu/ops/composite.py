@@ -277,6 +277,49 @@ def _gather_rows_bwd(block, res, g):
 gather_rows_sorted.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gather_flat_rows(packed, k_cols, ray_id, pos, offsets, block=SEG_BLOCK):
+    """ONE row gather per flat sample fetching BOTH the per-ray geometry
+    row ``packed`` (N, C) and the ray's padded rung-index row ``k_cols``
+    (N, S, float32); the sample's rung is then selected from the gathered
+    row at ``pos`` by a select-sum (a VPU stream) instead of a second
+    B-element gather. Row-gather cost on this chip is per ROW regardless of
+    width (docs/TPU_NOTES.md), so widening the row is free while the second
+    gather cost ~8 ns/sample (~1 ms of the 1.7 ms flat-layout stage at the
+    bench config, benchmarking/profile_stages.py r4).
+
+    Same sortedness/consistency contract as :func:`gather_rows_sorted`
+    (ray_id sorted, segment starts = offsets, content within ``block``
+    slots). Backward: geometry columns get the scatter-free per-segment sum
+    (:func:`seg_sum`); the rung indices are integers — no cotangent.
+
+    Returns:
+        (geo, k_f): (B, C) gathered geometry rows, (B,) int32 rung indices.
+    """
+    row = jnp.concatenate([packed, k_cols], axis=1)[ray_id]
+    c = packed.shape[1]
+    s = k_cols.shape[1]
+    k_f = jnp.sum(jnp.where(pos[:, None] == jnp.arange(s, dtype=pos.dtype),
+                            row[:, c:], 0.0), axis=1).astype(jnp.int32)
+    return row[:, :c], k_f
+
+
+def _gather_flat_fwd(packed, k_cols, ray_id, pos, offsets, block):
+    out = gather_flat_rows(packed, k_cols, ray_id, pos, offsets, block)
+    return out, (ray_id, offsets, jnp.zeros((0,), packed.dtype))
+
+
+def _gather_flat_bwd(block, res, g):
+    ray_id, offsets, dt_carrier = res
+    g_geo, _ = g
+    dpacked = seg_sum(g_geo.astype(jnp.float32), offsets,
+                      block).astype(dt_carrier.dtype)
+    return dpacked, None, None, None, None
+
+
+gather_flat_rows.defvjp(_gather_flat_fwd, _gather_flat_bwd)
+
+
 def seg_excl_cumsum(x, ray_id, offsets, n_rays=None, block=SEG_BLOCK):
     """Segment-exclusive prefix sum over a ray-ordered flat array.
 
