@@ -69,9 +69,11 @@ def main():
     ap.add_argument("--lr_fused", type=int, default=1,
                     help="LowRank fused nested-level evaluation (full-lane "
                          "bf16 matmuls); 0 restores per-level fp32")
-    ap.add_argument("--refresh_half", action="store_true", default=False,
+    ap.add_argument("--refresh_half", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="alternating even/odd-Morton half-dense occupancy "
-                         "refresh (halves the ~27 ms dense refresh)")
+                         "refresh (halves the ~27 ms dense refresh; the "
+                         "shipped CLI default, measured quality-neutral)")
     ap.add_argument("--bf16", action="store_true", default=False,
                     help="bfloat16 matmul compute — measured 8x SLOWER than "
                          "fp32 on this encoder's shapes (VPU bf16 tiling of "

@@ -98,8 +98,9 @@ def main():
                               system.poses[img_idxs])
     hits_t = _clamp_near(ray_aabb_intersect_single(
         rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale)))
-    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                               cfg.scale, cfg.grid_size, cfg.cascades)
+    stratum, _ = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                  cfg.scale, cfg.grid_size, cfg.cascades,
+                                  cfg.dir_norm)
     n_rungs = rcfg.n_rungs(cfg.scale, cfg.grid_size)
     s_max, s_strata = rcfg.s_max_train, rcfg.s_strata
     e, ms_, gs, sc = (rcfg.exp_step_factor, rcfg.max_samples, cfg.grid_size,
@@ -128,7 +129,7 @@ def main():
         mr = march_rays_train_twolevel(
             rays_o, rays_d, hits_t, occ.fine_nbr,
             occ.coarse_nbr, sc, e, gs, ms_, noise, n_rungs, s_max,
-            stratum, s_strata=s_strata)
+            stratum, s_strata=s_strata, dir_norm=cfg.dir_norm)
         return mr.ts.sum()
 
     print(f"full two-level march: {timed(full, args.iters):.2f} ms")

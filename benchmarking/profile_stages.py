@@ -150,8 +150,9 @@ def main():
     rays_o, rays_d = get_rays(dirs, pose)
     hits_t = _clamp_near(ray_aabb_intersect_single(
         rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.scale)))
-    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                               cfg.scale, cfg.grid_size, cfg.cascades)
+    stratum, _ = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                  cfg.scale, cfg.grid_size, cfg.cascades,
+                                  cfg.dir_norm)
     n_rungs = rcfg.n_rungs(cfg.scale, cfg.grid_size)
     batch = {"img_idxs": img_idxs, "pix_idxs": pix_idxs, "rgb": rgb_gt}
 
@@ -161,7 +162,8 @@ def main():
             rays_o, rays_d, hits_t, occ.fine_nbr,
             occ.coarse_nbr, cfg.scale, rcfg.exp_step_factor,
             cfg.grid_size, rcfg.max_samples, noise, n_rungs,
-            rcfg.s_max_train, stratum, s_strata=rcfg.s_strata)
+            rcfg.s_max_train, stratum, s_strata=rcfg.s_strata,
+            dir_norm=cfg.dir_norm)
         return mr
 
     ms = timed_loop(lambda k: do_march(k).ts.sum(), args.iters)

@@ -74,6 +74,20 @@ class NGPConfig:
     # sigma activation and compositing stay fp32 (mirrors the reference's
     # fp16-AMP-with-fp32-kernels policy, SURVEY §5 mixed precision)
     compute_dtype: str = "float32"
+    # per-ray sample cap, mirrors RenderConfig.max_samples (reference
+    # MAX_SAMPLES=1024, rendering.py:7). Kept here because it fixes the
+    # marching ladder's dt_min and therefore the coarse-table dilation the
+    # two-level march requires (ops/ray_march.twolevel_stratum)
+    max_samples: int = 1024
+    # upper bound on |rays_d| over every ray rendered/trained with this
+    # model. Directions are UNNORMALIZED (reference parity,
+    # datasets/ray_utils module doc), so a ladder t-step of dt moves
+    # dt*|d| through space; the two-level march's stratum length and
+    # coarse-table dilation must be derived for the WORST direction norm
+    # or corner rays silently lose samples (ops/ray_march.twolevel_stratum).
+    # NeRFSystem.setup computes this from the dataset's camera directions;
+    # direct users with non-unit rays must set it themselves.
+    dir_norm: float = 1.0
 
     @property
     def cascades(self) -> int:
@@ -154,17 +168,27 @@ class OccupancyState:
     @staticmethod
     def _nbr_tables(density_bitfield, cfg: "NGPConfig"):
         from ..ops.morton import occupancy_nbr_tables
+        from ..ops.ray_march import twolevel_stratum
         if cfg.cascades != 1:
             z = jnp.zeros((1, 16), jnp.uint32)
             return z, z
-        return occupancy_nbr_tables(density_bitfield, cfg.grid_size)
+        # the march buys stage-A conservativeness with multiple probe
+        # points per stratum at this fixed ±1-cell dilation
+        # (ops/ray_march.twolevel_stratum + stage_a_probes); the call keeps
+        # the table/march contract in one place
+        _, dilate = twolevel_stratum(0.0, cfg.max_samples, cfg.scale,
+                                     cfg.grid_size, cfg.cascades,
+                                     cfg.dir_norm)
+        return occupancy_nbr_tables(density_bitfield, cfg.grid_size,
+                                    dilate=max(dilate, 1))
 
     @staticmethod
     def _union_bits(density_bitfield, cfg: "NGPConfig"):
         from ..ops.morton import union_bitfield
         from ..ops.ray_march import cascades_stratum
         stratum, dilate = cascades_stratum(
-            1 / 256 if cfg.scale > 0.5 else 0.0, cfg.scale, cfg.cascades)
+            1 / 256 if cfg.scale > 0.5 else 0.0, cfg.scale, cfg.cascades,
+            dir_norm=cfg.dir_norm)
         if not stratum:
             return jnp.zeros((1,), jnp.uint8)
         return union_bitfield(density_bitfield, cfg.grid_size, cfg.cascades,

@@ -49,12 +49,14 @@ class RenderConfig:
     s_strata: int = 32             # two-level march: coarse-strata budget
     # flat (ragged) training evaluation: the field runs only on the valid
     # marched samples, compacted to a batch budget of s_flat per ray on
-    # average, instead of on every slot of the padded (N, s_max_train) rows
-    # (typical occupancy ~25/128). MEASURED NET-NEGATIVE on this chip at the
-    # default shapes: the per-sample B-element gathers (~7 ns each) cost
-    # more than the padded-eval savings (84 vs 73 ms/step), so it defaults
-    # OFF; kept because the balance flips if gather rates improve or S
-    # grows. 0 disables.
+    # average, instead of on every slot of the padded (N, s_max_train) rows.
+    # Round 1's formulation lost to its per-sample gathers (84 vs 73
+    # ms/step); the current gather-frugal layout (segmented scans, merged
+    # row gather, scatter-free adjoints) WINS decisively — padded 20.1 vs
+    # flat 12.9 ms/step at the r4 bench config — so the CLI defaults to 16
+    # (opt.py). 0 here keeps the library default conservative for direct
+    # RenderConfig users (multi-cascade scenes REQUIRE 0: their rm_s ~50
+    # overflows a synthetic-tuned budget and destabilizes training).
     s_flat: int = 0
     # alive-ray round schedule for the fast test renderer: per round a
     # (capacity fraction of the ray count, rung-window length, sample cap
@@ -206,17 +208,18 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
             return None
         return jax.random.uniform(
             key_gn, (n_samples, model.cfg.hash_grad_samples))
-    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                               cfg.scale, cfg.grid_size, cfg.cascades)
+    stratum, _ = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                  cfg.scale, cfg.grid_size, cfg.cascades,
+                                  cfg.dir_norm)
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
-                                    cfg.cascades)
+                                    cfg.cascades, dir_norm=cfg.dir_norm)
     if stratum:  # synthetic single-cascade scenes: gather-frugal march
         mr = march_rays_train_twolevel(
             rays_o, rays_d, hits_t, occ.fine_nbr,
             occ.coarse_nbr, cfg.scale, rcfg.exp_step_factor,
             cfg.grid_size, rcfg.max_samples, noise,
             rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
-            stratum, s_strata=rcfg.s_strata)
+            stratum, s_strata=rcfg.s_strata, dir_norm=cfg.dir_norm)
     elif c_stratum:  # real scenes: union-grid strata, exact fine rungs
         mr = march_rays_train_cascades(
             rays_o, rays_d, hits_t, occ.density_bitfield, occ.union_bits,
@@ -551,10 +554,11 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
                                               8, 9, 10, slice(11, 14), 14,
                                               15)
 
-    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                               cfg.scale, cfg.grid_size, cfg.cascades)
+    stratum, _ = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                  cfg.scale, cfg.grid_size, cfg.cascades,
+                                  cfg.dir_norm)
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
-                                    cfg.cascades)
+                                    cfg.cascades, dir_norm=cfg.dir_norm)
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
 
     def run_round(st, vr_total, c, w_len, s_cap, q_flat):
@@ -592,7 +596,7 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
                 cursor_new, atc, exhausted = march_seek_twolevel(
                     ro, rd, ts0, t2_r, cur, occ.coarse_nbr, cfg.scale,
                     rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-                    w_len, stratum)
+                    w_len, stratum, dir_norm=cfg.dir_norm)
             else:  # c_stratum (caller filters seeks out otherwise)
                 cursor_new, atc, exhausted = march_seek_cascades(
                     ro, rd, ts0, t2_r, cur, occ.union_bits, cfg.scale,
@@ -618,7 +622,8 @@ def _render_test_alive(model, params, occ, rays_o, rays_d,
             mr = march_rays_window_twolevel(
                 ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
                 cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
-                rcfg.max_samples, w_len, s_cap, stratum)
+                rcfg.max_samples, w_len, s_cap, stratum,
+                dir_norm=cfg.dir_norm)
         elif c_stratum:  # real scenes: union-grid strata window
             mr = march_rays_window_cascades(
                 ro, rd, ts0, t2_r, cur, occ.density_bitfield,
@@ -853,10 +858,11 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
         t2 = jnp.minimum(t2, t_far)
         valid = valid & (t_near < t2)
 
-    stratum = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
-                               cfg.scale, cfg.grid_size, cfg.cascades)
+    stratum, _ = twolevel_stratum(rcfg.exp_step_factor, rcfg.max_samples,
+                                  cfg.scale, cfg.grid_size, cfg.cascades,
+                                  cfg.dir_norm)
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
-                                    cfg.cascades)
+                                    cfg.cascades, dir_norm=cfg.dir_norm)
 
     P, w_seek, w_len, s_cap = rcfg.wavefront
     pools = P if isinstance(P, tuple) else (P,)
@@ -923,7 +929,7 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
                 cur_s, _, exh_s = march_seek_twolevel(
                     ro, rd, ts0, t2_r, cur, occ.coarse_nbr, cfg.scale,
                     rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-                    w_seek, stratum)
+                    w_seek, stratum, dir_norm=cfg.dir_norm)
             else:
                 cur_s, _, exh_s = march_seek_cascades(
                     ro, rd, ts0, t2_r, cur, occ.union_bits, cfg.scale,
@@ -936,7 +942,8 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
             mr = march_rays_window_twolevel(
                 ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
                 cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
-                rcfg.max_samples, w_len, s_cap, stratum)
+                rcfg.max_samples, w_len, s_cap, stratum,
+                dir_norm=cfg.dir_norm)
         elif c_stratum:
             mr = march_rays_window_cascades(
                 ro, rd, ts0, t2_r, cur, occ.density_bitfield,

@@ -219,13 +219,18 @@ def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
     return ((word >> bit) & 1).astype(jnp.bool_)
 
 
-def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int):
+def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int,
+                         dilate: int = 1):
     """Neighborhood tables for two-level marching (single-cascade scenes).
 
+    Args:
+        dilate: coarse dilation radius in cells — must match (be >=) the
+            ``dilate`` half of ray_march.twolevel_stratum so the stage-A
+            center test conservatively covers the whole stratum.
     Returns:
-        (coarse_nbr, fine_nbr): 4^3-neighborhood rows of the DILATED
-        half-resolution grid ((g/2)^3, 2) and of the exact fine grid
-        ((g^3, 2)); see neighborhood_table. The coarse grid reuses the
+        (coarse_nbr, fine_nbr): 8^3-neighborhood rows of the DILATED
+        half-resolution grid ((g/2)^3, 16) and of the exact fine grid
+        ((g^3, 16)); see neighborhood_table. The coarse grid reuses the
         Morton-byte pooling + dilation of :func:`coarse_bitfield_from_fine`.
     """
     g = grid_size
@@ -235,7 +240,8 @@ def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int):
         .reshape(g2, g2, g2)
     d = coarse
     for axis in range(3):
-        d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+        for _ in range(dilate):
+            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
 
     to_spatial_f, _ = _morton_spatial_perms(g)
     fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)

@@ -193,7 +193,9 @@ def superstrata_len(stratum, dt_min, cell) -> int:
     """Static count of consecutive stratum centers whose cells fit one 8^3
     neighborhood row: the span of s centers, (s-1)*stratum*dt_min, must stay
     within NBR_SPAN-1 cells so every center's cell lies in
-    min_cell + [0, NBR_SPAN)^3 (ops/morton.neighborhood_table)."""
+    min_cell + [0, NBR_SPAN)^3 (ops/morton.neighborhood_table). ``dt_min``
+    must be the worst-case SPATIAL step — t-step times the direction-norm
+    bound (directions are unnormalized; see twolevel_stratum)."""
     from .morton import NBR_SPAN
     s = 1
     while s < 16 and s * stratum * dt_min <= (NBR_SPAN - 1.0) * cell:
@@ -204,7 +206,8 @@ def superstrata_len(stratum, dt_min, cell) -> int:
 def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
                               coarse_nbr, scale, exp_step_factor,
                               grid_size, max_samples, noise, n_rungs, s_max,
-                              stratum, s_strata=32) -> MarchResults:
+                              stratum, s_strata=32, dir_norm=1.0
+                              ) -> MarchResults:
     """Two-level training march: coarse strata first, fine rungs second.
 
     Random gathers are the dominant marching cost on TPU (~8 ns per row
@@ -234,23 +237,28 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
     dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, scale)
     t_start = jnp.where(valid_ray, t1 + dt0 * noise, 0.0)
 
-    # ---- stage A: coarse stratum tests (superstrata share one row gather)
+    # ---- stage A: coarse stratum tests (superstrata share one row gather;
+    # long strata get p probe points each so the table's ±1-cell dilation
+    # stays a superset test, stage_a_probes)
     g_c = grid_size // 2
     dt_min = SQRT3 / max_samples
-    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    s_a = superstrata_len(stratum, dt_min * dir_norm, 2.0 * scale / g_c)
+    offs = jnp.asarray(stage_a_probes(stratum, dt_min * dir_norm,
+                                      2.0 * scale / g_c), jnp.float32)
+    p = offs.shape[0]
     n_super = -(-(-(-n_rungs // stratum)) // s_a)  # ceil(ceil(K/st)/s_a)
     n_strata = n_super * s_a          # padded to a superstratum multiple
     # padded strata lie past the ladder end, so t_first >= t2 masks them
-    centers = (jnp.arange(n_strata, dtype=jnp.float32) * stratum
-               + (stratum - 1) / 2.0)
+    centers = (jnp.arange(n_strata, dtype=jnp.float32)[:, None] * stratum
+               + offs[None, :]).reshape(-1)
     t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
-                   grid_size, scale)                              # (N, A)
+                   grid_size, scale)                              # (N, A*p)
     xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
-    nxyz_g = nxyz.reshape(n, n_super, s_a, 3)
+    nxyz_g = nxyz.reshape(n, n_super, s_a * p, 3)
     occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
-                                g_c).reshape(n, n_strata)
+                                g_c).reshape(n, n_strata, p).any(axis=2)
     # stratum is live if its first rung is before the exit
     t_first = t_ladder(t_start,
                        jnp.arange(n_strata, dtype=jnp.float32) * stratum,
@@ -322,7 +330,8 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
                         t_start=t_start)
 
 
-def cascades_stratum(exp_step_factor, scale, cascades, stratum=8):
+def cascades_stratum(exp_step_factor, scale, cascades, stratum=8,
+                     dir_norm=1.0):
     """Static (stratum, dilate) for the MULTI-cascade two-level march, or
     (0, 0) when it can't be conservative.
 
@@ -337,13 +346,15 @@ def cascades_stratum(exp_step_factor, scale, cascades, stratum=8):
     ``scale`` (bug parity, module doc). Requires 2*scale to be a power of
     two so every cascade pools into the union grid on exact cell
     boundaries (true of all reference benchmark recipes: scale 0.5..64).
+    ``dir_norm`` bounds |rays_d| exactly as in :func:`twolevel_stratum`
+    (spatial span = t-span * |d|; directions are unnormalized).
     """
     if cascades == 1 or exp_step_factor == 0.0:
         return 0, 0
     if abs(math.log2(2 * scale) - round(math.log2(2 * scale))) > 1e-9:
         return 0, 0
     dt_worst = max(scale, cascades)
-    d = math.ceil(stratum * SQRT3 / 2.0 * dt_worst / scale) + 1
+    d = math.ceil(stratum * SQRT3 / 2.0 * dt_worst * dir_norm / scale) + 1
     return stratum, d
 
 
@@ -544,31 +555,72 @@ def march_rays_window_cascades(rays_o, rays_d, t_start, t2, cursor,
 
 
 def twolevel_stratum(exp_step_factor, max_samples, scale, grid_size,
-                     cascades) -> int:
-    """Static stratum length (rungs per coarse test) for two-level marching,
-    or 0 when the two-level path can't be conservative.
+                     cascades, dir_norm=1.0):
+    """Static (stratum, dilate) for two-level marching, or (0, 0) when the
+    two-level path can't be conservative.
 
-    Conservativeness: the dilated coarse grid (cell size 4*scale/G, +-1-cell
-    dilation) must cover every rung within half a stratum of the stratum
-    center, so (stratum/2)*dt_min <= 4*scale/G. The stage-B row gather
-    additionally needs a stratum's rung cells to fit one 8^3 fine
-    neighborhood: (stratum-1)*dt_min <= NBR_SPAN-1 fine cells
-    (ops/morton.neighborhood_table; the 4^3 rows of round 2 capped stratum
-    at 8 — the 8^3 rows roughly double it, halving gathers per rung). Only
-    the single-cascade uniform-dt regime (synthetic scenes:
-    exp_step_factor == 0) is supported; real scenes keep the exact
-    one-level march.
+    The stratum length is set by the stage-B constraint alone: a stratum's
+    rung cells must fit one 8^3 fine neighborhood row, i.e.
+    (stratum-1)*dt_min*dir_norm <= (NBR_SPAN-1) fine cells
+    (ops/morton.neighborhood_table). Stage-A conservativeness is then bought
+    with COARSE DILATION instead of shrinking the stratum: the coarse grid
+    (cell 4*scale/G) is dilated by ``dilate`` cells per axis so the single
+    test at the stratum's center rung covers every rung within
+    ((stratum-1)/2)*dt_min*dir_norm of it. Rounds 2-3 instead capped the
+    stratum at 2*coarse_cell/dt_min (18 rungs at the default config,
+    dilation fixed at 1); decoupling lets the stratum reach the fine-window
+    limit, cutting both stage-A and stage-B row gathers per rung ~2x —
+    dilation only adds stage-A false positives, which the exact stage-B
+    test discards. Only the single-cascade uniform-dt regime (synthetic
+    scenes: exp_step_factor == 0) is supported; real scenes keep the exact
+    one-level march (multi-cascade scenes use :func:`cascades_stratum`).
+
+    ``dir_norm`` upper-bounds |rays_d| over every ray the tables/march will
+    see. Ray directions are UNNORMALIZED by convention (datasets/ray_utils
+    module doc — pixel directions with |d| up to ~1.2 at a 53-degree-fov
+    corner), and the ladder steps t, so a rung's SPATIAL distance from its
+    stratum center is ((stratum-1)/2)*dt*|d|: at |d| > 1 a stratum derived
+    for |d| = 1 overruns both the fine row and the coarse-test coverage,
+    and the march silently drops real samples (caught by an
+    exposure-fixture pixel whose corner ray lost its first rung, r4).
+    Callers with camera rays must pass the dataset's max direction norm
+    (NGPConfig.dir_norm).
+
+    The returned ``dilate`` is fixed at 1: stage A covers a long stratum
+    with MULTIPLE probe points (:func:`stage_a_probes`) instead of fatter
+    dilation. A dilate-2 half-res table was measured to wreck stage-A
+    selectivity — occupied regions bloat by ±1/16 of the scene per axis,
+    the wavefront marches through false-positive strata paying padded
+    field evals at ~zero fill (bench fps 6.1 -> 4.5, r4) — while extra
+    probe points reuse the superstratum's one row gather and only add VPU
+    compares.
     """
     if exp_step_factor != 0.0 or cascades != 1:
-        return 0
+        return 0, 0
     from .morton import NBR_SPAN
-    dt_min = SQRT3 / max_samples
-    cell = 4.0 * scale / grid_size
+    dt_eff = SQRT3 / max_samples * dir_norm   # worst-case SPATIAL step
     cell_fine = 2.0 * min(0.5, scale) / grid_size
-    stratum = int(2.0 * cell / dt_min)
-    stratum = min(stratum, int((NBR_SPAN - 1.0) * cell_fine / dt_min) + 1,
-                  32)
-    return stratum if stratum >= 2 else 0
+    stratum = min(int((NBR_SPAN - 1.0) * cell_fine / dt_eff) + 1, 32)
+    if stratum < 2:
+        return 0, 0
+    return stratum, 1
+
+
+def stage_a_probes(stratum, dt_eff, cell):
+    """Static fractional rung offsets of the stage-A probe points within a
+    stratum (tuple of floats, length p).
+
+    Every rung of the stratum must be within one coarse ``cell`` of a probe
+    point so the ±1-cell dilated coarse test at the probe is a strict
+    superset test: rung offsets [0, stratum-1] are covered to radius
+    (stratum-1)/(2p) rungs by p evenly spaced probes, so p =
+    ceil(((stratum-1)/2) * dt_eff / cell) with ``dt_eff`` the worst-case
+    spatial step (t-step * direction-norm bound). All p probes of a stratum
+    lie inside its rung span, so the superstratum row-sharing bound
+    (:func:`superstrata_len`) is unaffected.
+    """
+    p = max(1, math.ceil(((stratum - 1) / 2.0) * dt_eff / cell))
+    return tuple((stratum - 1) * (2 * i + 1) / (2.0 * p) for i in range(p))
 
 
 class WindowMarchResults(NamedTuple):
@@ -585,8 +637,8 @@ class WindowMarchResults(NamedTuple):
 def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
                                fine_nbr, coarse_nbr, scale,
                                exp_step_factor, grid_size, max_samples,
-                               n_window, s_cap, stratum, s_strata=None
-                               ) -> WindowMarchResults:
+                               n_window, s_cap, stratum, s_strata=None,
+                               dir_norm=1.0) -> WindowMarchResults:
     """Two-level variant of :func:`march_rays_window` (single cascade,
     uniform dt): coarse-test the window's strata, fine-test only the first
     ``s_strata`` surviving strata. Occupancy reads fetch 4^3-neighborhood
@@ -599,20 +651,24 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
     c = rays_o.shape[0]
     g_c = grid_size // 2
     dt_min = SQRT3 / max_samples
-    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    s_a = superstrata_len(stratum, dt_min * dir_norm, 2.0 * scale / g_c)
+    offs = jnp.asarray(stage_a_probes(stratum, dt_min * dir_norm,
+                                      2.0 * scale / g_c), jnp.float32)
+    p = offs.shape[0]
     n_super = -(-(-(-n_window // stratum)) // s_a)
     n_strata = n_super * s_a          # padded; t_first >= t2 masks extras
 
     jj = jnp.arange(n_strata, dtype=jnp.float32)
-    centers = cursor[:, None] + jj[None, :] * stratum + (stratum - 1) / 2.0
+    base = (jj[:, None] * stratum + offs[None, :]).reshape(-1)
+    centers = cursor[:, None] + base[None, :]
     t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
                    grid_size, scale)
     xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
-    nxyz_g = nxyz.reshape(c, n_super, s_a, 3)
+    nxyz_g = nxyz.reshape(c, n_super, s_a * p, 3)
     occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
-                                g_c).reshape(c, n_strata)
+                                g_c).reshape(c, n_strata, p).any(axis=2)
     t_first = t_ladder(t_start, cursor[:, None] + jj[None, :] * stratum,
                        exp_step_factor, max_samples, grid_size, scale)
     # padded strata start at or past the window end: keep them out so no
@@ -696,7 +752,7 @@ def march_rays_window_twolevel(rays_o, rays_d, t_start, t2, cursor,
 
 def march_seek_twolevel(rays_o, rays_d, t_start, t2, cursor, coarse_nbr,
                         scale, exp_step_factor, grid_size, max_samples,
-                        n_window, stratum):
+                        n_window, stratum, dir_norm=1.0):
     """FIELD-FREE empty-space seek (single cascade, uniform dt): advance each
     ray's cursor to the first COARSE-occupied stratum in the window, testing
     only the dilated coarse grid — no fine tests, no field evaluation.
@@ -722,20 +778,24 @@ def march_seek_twolevel(rays_o, rays_d, t_start, t2, cursor, coarse_nbr,
     c = rays_o.shape[0]
     g_c = grid_size // 2
     dt_min = SQRT3 / max_samples
-    s_a = superstrata_len(stratum, dt_min, 2.0 * scale / g_c)
+    s_a = superstrata_len(stratum, dt_min * dir_norm, 2.0 * scale / g_c)
+    offs = jnp.asarray(stage_a_probes(stratum, dt_min * dir_norm,
+                                      2.0 * scale / g_c), jnp.float32)
+    p = offs.shape[0]
     n_super = -(-(-(-n_window // stratum)) // s_a)
     n_strata = n_super * s_a
 
     jj = jnp.arange(n_strata, dtype=jnp.float32)
-    centers = cursor[:, None] + jj[None, :] * stratum + (stratum - 1) / 2.0
+    base = (jj[:, None] * stratum + offs[None, :]).reshape(-1)
+    centers = cursor[:, None] + base[None, :]
     t_c = t_ladder(t_start, centers, exp_step_factor, max_samples,
                    grid_size, scale)
     xyz_c = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
-    nxyz_g = nxyz.reshape(c, n_super, s_a, 3)
+    nxyz_g = nxyz.reshape(c, n_super, s_a * p, 3)
     occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
-                                g_c).reshape(c, n_strata)
+                                g_c).reshape(c, n_strata, p).any(axis=2)
     t_first = t_ladder(t_start, cursor[:, None] + jj[None, :] * stratum,
                        exp_step_factor, max_samples, grid_size, scale)
     occ_c = occ_c & (t_first < t2[:, None]) \

@@ -155,11 +155,15 @@ def get_opts(argv=None):
                              '8 = exact backward. Lower values cut the '
                              'scatter-add wall that dominates hash-family '
                              'training on TPU (docs/TPU_NOTES.md)')
-    parser.add_argument('--refresh_half', action='store_true', default=False,
+    parser.add_argument('--refresh_half', action=argparse.BooleanOptionalAction,
+                        default=True,
                         help='[tpu] occupancy refresh evaluates alternating '
                              'even/odd-Morton cell halves (halves the dense '
                              'refresh cost; the skipped half decays exactly '
-                             'like the reference\'s unsampled cells)')
+                             'like the reference\'s unsampled cells). '
+                             'Measured quality-neutral and ~0.5 ms/step '
+                             'faster at the bench config (r4); '
+                             '--no-refresh_half restores the full refresh')
     parser.add_argument('--grid_size', type=int, default=128,
                         help='[tpu] occupancy grid resolution (reference '
                              'fixes 128)')
@@ -169,10 +173,17 @@ def get_opts(argv=None):
     parser.add_argument('--steps_per_epoch', type=int, default=1000,
                         help='[tpu] steps per epoch (reference fixes 1000; '
                              'lower for smoke tests)')
-    parser.add_argument('--s_flat', type=int, default=0,
+    parser.add_argument('--s_flat', type=int, default=16,
                         help='[tpu] flat (ragged) sample evaluation budget '
-                             'per ray; 0 (default) keeps the padded rows — '
-                             'measured faster on current hardware')
+                             'per ray; 0 keeps the padded rows. The default '
+                             '16 covers the synthetic-scene steady state '
+                             '(rm_s ~12) and is the benchmarked fast path '
+                             '(padded 20.1 vs flat 12.9 ms/step at the r4 '
+                             'bench config); early high-rm_s steps run '
+                             'padded automatically (train.py FLAT_AFTER), '
+                             'and multi-cascade scenes (scale > 0.5) force '
+                             '0 — their rm_s ~50 would overflow the flat '
+                             'budget and destabilize training (measured)')
     parser.add_argument('--wavefront', type=str, default='auto',
                         help='[tpu] test/validation renderer: "auto" keeps '
                              'the RenderConfig default (persistent-pool '

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import glob
+import math
 import os
 import sys
 import time
@@ -102,7 +103,8 @@ class NeRFSystem:
             lr_k_max=getattr(hparams, "lr_k_max", 512),
             lr_fused=getattr(hparams, "lr_fused", False),
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
-            else "float32")
+            else "float32",
+            max_samples=getattr(hparams, "max_samples", MAX_SAMPLES))
         self.model = NGP(self.model_cfg)
         if hparams.grid in ("Hash", "Window", "MixedFeature"):
             try:
@@ -132,12 +134,18 @@ class NeRFSystem:
             s_max_train=hparams.s_max_train,
             s_max_test=hparams.s_max_test,
             test_chunk=hparams.test_chunk,
-            # stage-B strata budget: with 8^3 neighborhood rows the stratum
-            # is ~18 rungs (twolevel_stratum), so 8 strata cover ~144 rungs
-            # of occupied content — the same coverage 16 strata of 8 rungs
-            # gave in round 2, at half the row gathers
-            s_strata=max(4, hparams.s_max_train // 8),
-            s_flat=getattr(hparams, "s_flat", 0))
+            # stage-B strata budget: keep ~2.25x s_max_train rungs of
+            # occupied-content coverage (the round-2/3 working point: 8
+            # strata x 18 rungs at s_max_train 64) regardless of how long
+            # the derived stratum is — longer strata (dilation-bought, see
+            # ops/ray_march.twolevel_stratum) mean FEWER row gathers for
+            # the same coverage
+            s_strata=self._s_strata(hparams),
+            # multi-cascade scenes march ~50 samples/ray steady-state: a
+            # flat budget tuned for synthetic rm_s ~12 truncates whole
+            # rays' samples and destabilizes training (measured, bench.py)
+            s_flat=(0 if hparams.scale > 0.5
+                    else getattr(hparams, "s_flat", 0)))
         wf = getattr(hparams, "wavefront", "auto")
         if wf != "auto":
             from .models.rendering import parse_wavefront
@@ -148,6 +156,18 @@ class NeRFSystem:
         self.mesh = make_mesh(hparams.num_gpus)
         self.steps_per_epoch = getattr(hparams, "steps_per_epoch",
                                        STEPS_PER_EPOCH)
+
+    def _s_strata(self, hparams):
+        from .ops.ray_march import twolevel_stratum
+        cfg = self.model_cfg
+        exp_f = 1 / 256 if hparams.scale > 0.5 else 0.0
+        stratum, _ = twolevel_stratum(exp_f, cfg.max_samples, cfg.scale,
+                                      cfg.grid_size, cfg.cascades,
+                                      cfg.dir_norm)
+        if stratum:
+            cov = 9 * hparams.s_max_train // 4
+            return max(4, -(-cov // stratum))
+        return max(4, hparams.s_max_train // 8)
 
     # ------------------------------------------------------------------ data
     def setup(self, train_dataset=None, test_dataset=None):
@@ -162,6 +182,26 @@ class NeRFSystem:
         self.train_dataset.ray_sampling_strategy = hp.ray_sampling_strategy
         self.train_dataset.seed(hp.seed)
         self.test_dataset = test_dataset
+
+        # directions are UNNORMALIZED (reference parity): the two-level
+        # march's stratum/dilation bounds scale with the WORST |d| over
+        # the cameras (ops/ray_march.twolevel_stratum). Known only now —
+        # rebuild the model config (init/occ happen later, in configure)
+        # and the stratum-dependent s_strata budget. Ceil to 1/16 so the
+        # static value is stable across float jitter.
+        dn = 1.0
+        for ds in (train_dataset, test_dataset):
+            d = getattr(ds, "directions", None)
+            if d is not None:
+                dn = max(dn, float(np.linalg.norm(
+                    np.asarray(d, np.float32), axis=-1).max()))
+        dn = math.ceil(dn * 16.0) / 16.0
+        if dn != self.model_cfg.dir_norm:
+            self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                 dir_norm=dn)
+            self.model = NGP(self.model_cfg)
+            self.rcfg = dataclasses.replace(self.rcfg,
+                                            s_strata=self._s_strata(hp))
 
     # ----------------------------------------------------------------- state
     def configure(self, key):

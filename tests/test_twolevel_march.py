@@ -21,19 +21,28 @@ GRID = 64
 MAX_SAMPLES = 512  # dt_min = sqrt(3)/512
 
 
-def _setup(occ_density=0.02, seed=0, n=256):
+def _setup(occ_density=0.02, seed=0, n=256, dir_norm=1.0):
     rng = np.random.default_rng(seed)
     n_bytes = GRID ** 3 // 8
     fine = (rng.random(n_bytes * 8) < occ_density).astype(np.uint8)
     fine_bits = jnp.asarray(
         (fine.reshape(-1, 8) << np.arange(8)).sum(1).astype(np.uint8))
-    coarse_nbr, fine_nbr = occupancy_nbr_tables(fine_bits, GRID)
+    _, dilate = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1, dir_norm)
+    coarse_nbr, fine_nbr = occupancy_nbr_tables(fine_bits, GRID,
+                                                dilate=dilate)
 
     key = jax.random.PRNGKey(seed + 1)
     rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.3]]), (n, 1))
     d = jax.random.normal(key, (n, 3)) * jnp.asarray([0.35, 0.35, 0.0]) \
         + jnp.asarray([0.0, 0.0, 1.0])
     rays_d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    if dir_norm != 1.0:
+        # camera-style UNNORMALIZED directions: |d| in (1, dir_norm],
+        # worst-case corners included (datasets/ray_utils module doc)
+        s = 1.0 + (dir_norm - 1.0) * jax.random.uniform(
+            jax.random.PRNGKey(seed + 2), (n, 1))
+        s = s.at[: n // 8].set(dir_norm)  # pin some rays at the bound
+        rays_d = rays_d * s
 
     from mfnerf_tpu.ops.intersection import ray_aabb_intersect_single
     hits_t = ray_aabb_intersect_single(rays_o, rays_d, jnp.zeros(3),
@@ -43,20 +52,47 @@ def _setup(occ_density=0.02, seed=0, n=256):
 
 
 def test_stratum_selection():
-    # 8^3 neighborhood rows (ops/morton.NBR_SPAN): the stage-B row covers
-    # up to 33 rungs, so the coarse-conservativeness bound (2*cell/dt = 18)
-    # binds at the quickstart config (round 2's 4^3 rows capped this at 8)
-    assert twolevel_stratum(0.0, 1024, 0.5, 128, 1) == 18
-    assert twolevel_stratum(0.0, 256, 0.5, 128, 1) == 4
-    assert twolevel_stratum(1 / 256, 1024, 0.5, 128, 1) == 0  # real scenes
-    assert twolevel_stratum(0.0, 1024, 4.0, 128, 4) == 0      # cascades
+    # the stratum is fine-window-limited (8^3 rows cover up to 33 rungs,
+    # capped 32); stage-A conservativeness is bought with MULTIPLE probe
+    # points per stratum at fixed ±1-cell dilation (rounds 2-3 instead
+    # capped the stratum at 2*cell/dt = 18 with one center probe)
+    assert twolevel_stratum(0.0, 1024, 0.5, 128, 1) == (32, 1)
+    assert twolevel_stratum(0.0, 256, 0.5, 128, 1) == (9, 1)
+    assert twolevel_stratum(1 / 256, 1024, 0.5, 128, 1) == (0, 0)  # real
+    assert twolevel_stratum(0.0, 1024, 4.0, 128, 4) == (0, 0)  # cascades
+    # unnormalized camera directions shrink the stratum / add probes by
+    # the direction-norm bound (a 53-deg-fov corner ray has |d| ~1.22;
+    # rays are NOT unit vectors, datasets/ray_utils module doc)
+    assert twolevel_stratum(0.0, 256, 0.5, 64, 1, 1.25) == (13, 1)
+    s1, _ = twolevel_stratum(0.0, 1024, 0.5, 128, 1, 1.25)
+    assert s1 < 32
+
+
+def test_stage_a_probe_coverage():
+    """Every rung of a stratum must lie within one coarse cell of a probe
+    point (spatially), so the ±1-dilated coarse test at the probes is a
+    strict superset test for any stratum/dir_norm combination."""
+    from mfnerf_tpu.ops.ray_march import stage_a_probes
+
+    for ms, g, dn in [(1024, 128, 1.0), (1024, 128, 1.25), (256, 64, 1.25),
+                      (512, 64, 1.75), (128, 32, 1.25)]:
+        stratum, dil = twolevel_stratum(0.0, ms, 0.5, g, 1, dn)
+        if not stratum:
+            continue
+        assert dil == 1
+        dt_eff = 1.7320508 / ms * dn
+        cell = 2.0 * 0.5 / (g // 2)
+        offs = np.asarray(stage_a_probes(stratum, dt_eff, cell))
+        rungs = np.arange(stratum)
+        dist = np.abs(rungs[:, None] - offs[None, :]).min(axis=1) * dt_eff
+        assert (dist <= cell + 1e-9).all(), (ms, g, dn, stratum, offs)
 
 
 @pytest.mark.parametrize("density", [0.005, 0.03])
 def test_twolevel_matches_onelevel(density):
     fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
         _setup(density)
-    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     assert stratum >= 2
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
                          MAX_SAMPLES, GRID, SCALE)
@@ -85,6 +121,36 @@ def test_twolevel_matches_onelevel(density):
     assert agree.all() or exact.mean() > 0.98
 
 
+@pytest.mark.parametrize("dir_norm", [1.25, 1.75])
+def test_twolevel_matches_onelevel_unnormalized_dirs(dir_norm):
+    """Camera rays are UNNORMALIZED (|d| up to ~1.2 at a 53-deg-fov corner,
+    more for wider lenses): a ladder t-step moves dt*|d| through space, so
+    the stratum/dilation bounds must scale with the direction-norm bound.
+    Regression: the r4 exact-boundary stratum derived for |d| = 1 overran
+    the 8^3 fine row on corner rays and silently DROPPED their first rung
+    (caught as a wavefront-vs-oracle pixel mismatch in the exposure
+    fixture)."""
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(0.03, dir_norm=dir_norm)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1,
+                                  dir_norm)
+    assert stratum >= 2
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
+                           0.0, GRID, MAX_SAMPLES, noise, k, 64)
+    two = march_rays_train_twolevel(
+        rays_o, rays_d, hits_t, fine_nbr, coarse_nbr, SCALE, 0.0, GRID,
+        MAX_SAMPLES, noise, k, 64, stratum, s_strata=64, dir_norm=dir_norm)
+    n1, n2 = np.asarray(one.n_samples), np.asarray(two.n_samples)
+    exact = (n1 == n2)
+    assert exact.mean() > 0.98, f"only {exact.mean():.2%} rays agree"
+    m = exact[:, None] & np.asarray(one.mask)
+    np.testing.assert_allclose(np.where(m, np.asarray(one.ts), 0),
+                               np.where(m, np.asarray(two.ts), 0),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_twolevel_budget_truncation_is_ordered_subsequence():
     """With a tiny strata budget, the emitted samples must be an ORDERED
     SUBSEQUENCE of the one-level sample sequence — stratified along the ray
@@ -92,7 +158,7 @@ def test_twolevel_budget_truncation_is_ordered_subsequence():
     out-of-order or fabricated."""
     fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
         _setup(0.08)
-    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
                          MAX_SAMPLES, GRID, SCALE)
     one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
@@ -124,7 +190,7 @@ def test_window_march_indivisible_window_never_reemits():
 
     fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
         _setup(0.05)
-    stratum = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
     assert stratum not in (0, 1)
     k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
                          MAX_SAMPLES, GRID, SCALE)
