@@ -249,6 +249,48 @@ def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int,
     return neighborhood_table(d), neighborhood_table(fine)
 
 
+def pooled_stage_a_table(fine_bitfield: jnp.ndarray, grid_size: int,
+                         pool: int = 4, dilate: int = 1) -> jnp.ndarray:
+    """8^3-neighborhood rows of a ``pool``x-pooled, dilated occupancy grid.
+
+    Stage-A economics (training march): at the bench config the stratum
+    span (~4.2 half-res cells) fills a whole 8^3 row, so superstrata_len
+    degenerates to 1 and stage A pays ONE row gather per stratum per ray —
+    262k gathers ~ 2.1 ms/step of the 3.85 ms march (profile_stages +
+    profile_march, 2026-08-20). Pooling the grid 2x further (G/4 cells)
+    fits ~3 strata per row, cutting stage-A gathers ~3x. The coarser cell
+    admits more stage-A false positives, which the march's exact stage-B
+    test discards — acceptable for TRAINING (field evals are fixed at
+    N*s_flat there) but NOT for the wavefront renderer, where a
+    false-positive stratum wastes a whole padded field iteration (the
+    dilate-2 FPS regression, docs/R4_TPU_QUEUE.md); the test path keeps
+    the G/2 table.
+
+    Args:
+        fine_bitfield: packed cascade-0 bitfield (>= G^3/8 bytes).
+        grid_size: fine grid resolution G.
+        pool: pooling factor (cells of the stage-A grid are ``pool`` fine
+            cells wide).
+        dilate: dilation radius in POOLED cells (must match the march's
+            probe spacing contract, ray_march.stage_a_probes).
+    Returns:
+        ((G/pool)^3, 16) uint32 neighborhood rows (morton.neighborhood_table
+        layout, row-indexed in raster order of the pooled grid).
+    """
+    g = grid_size
+    gp = g // pool
+    to_spatial, _ = _morton_spatial_perms(g)
+    fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)
+    fine = fine[jnp.asarray(to_spatial)].reshape(g, g, g)
+    pooled = fine.reshape(gp, pool, gp, pool, gp, pool).any(axis=(1, 3, 5))
+    d = pooled
+    for axis in range(3):
+        for _ in range(dilate):
+            # jnp.roll wraps; spurious edge cells are conservative
+            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+    return neighborhood_table(d)
+
+
 def union_bitfield(fine_bitfield: jnp.ndarray, grid_size: int,
                    cascades: int, dilate: int) -> jnp.ndarray:
     """Dilated WORLD-SPACE union of every cascade's occupancy.

@@ -206,8 +206,8 @@ def superstrata_len(stratum, dt_min, cell) -> int:
 def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
                               coarse_nbr, scale, exp_step_factor,
                               grid_size, max_samples, noise, n_rungs, s_max,
-                              stratum, s_strata=32, dir_norm=1.0
-                              ) -> MarchResults:
+                              stratum, s_strata=32, dir_norm=1.0,
+                              nbr_a=None, g_a=None) -> MarchResults:
     """Two-level training march: coarse strata first, fine rungs second.
 
     Random gathers are the dominant marching cost on TPU (~8 ns per row
@@ -230,6 +230,13 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
     occupied-coarse strata fit the ``s_strata`` budget (the parity test
     asserts this); rays crossing more occupied strata sample stratified —
     the same kind of cap the reference applies at MAX_SAMPLES.
+
+    ``nbr_a``/``g_a`` optionally swap the stage-A structure for a COARSER
+    pooled table (morton.pooled_stage_a_table): at the bench config the
+    G/2 table fits only one stratum per 8^3 row (superstrata_len == 1, one
+    row gather per stratum per ray — the march's dominant cost), while a
+    G/4 table fits ~3. The extra false positives only cost exact stage-B
+    row tests here; the result stays sample-for-sample conservative.
     """
     n = rays_o.shape[0]
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
@@ -240,7 +247,10 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
     # ---- stage A: coarse stratum tests (superstrata share one row gather;
     # long strata get p probe points each so the table's ±1-cell dilation
     # stays a superset test, stage_a_probes)
-    g_c = grid_size // 2
+    if nbr_a is None:
+        nbr_a, g_c = coarse_nbr, grid_size // 2
+    else:
+        g_c = g_a
     dt_min = SQRT3 / max_samples
     s_a = superstrata_len(stratum, dt_min * dir_norm, 2.0 * scale / g_c)
     offs = jnp.asarray(stage_a_probes(stratum, dt_min * dir_norm,
@@ -257,7 +267,7 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
     nxyz = jnp.clip(0.5 * (xyz_c / scale + 1.0) * g_c, 0.0,
                     g_c - 1.0).astype(jnp.int32)
     nxyz_g = nxyz.reshape(n, n_super, s_a * p, 3)
-    occ_c = neighborhood_lookup(coarse_nbr, nxyz_g.min(axis=2), nxyz_g,
+    occ_c = neighborhood_lookup(nbr_a, nxyz_g.min(axis=2), nxyz_g,
                                 g_c).reshape(n, n_strata, p).any(axis=2)
     # stratum is live if its first rung is before the exit
     t_first = t_ladder(t_start,
