@@ -60,6 +60,9 @@ def main():
                          "steady-state rm_s ~12; early high-rm_s steps run "
                          "padded via FLAT_AFTER")
     ap.add_argument("--s_max_train", type=int, default=64)
+    ap.add_argument("--pool_a", type=int, default=0,
+                    help="training-march stage-A pooling factor (0 = G/2 "
+                         "coarse table; see NGPConfig.pool_a)")
     ap.add_argument("--lr_k_max", type=int, default=512,
                     help="LowRank finest-level knots (encoder cost ~ K)")
     ap.add_argument("--scale", type=float, default=0.5,
@@ -108,7 +111,8 @@ def main():
         steps_per_epoch=1000, grid_size=128, max_samples=1024,
         lr_levels=8, lr_rank=16, lr_frames=2, lr_k_max=args.lr_k_max,
         bf16=args.bf16, refresh_half=args.refresh_half,
-        s_flat=args.s_flat, lr_fused=bool(args.lr_fused))
+        s_flat=args.s_flat, lr_fused=bool(args.lr_fused),
+        pool_a=args.pool_a)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     spread = 1.0 if args.scale <= 0.5 else args.scale * 1.5
@@ -269,6 +273,12 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 4),
+        # standing quality gate: train-batch PSNR after warmup+timed steps
+        # (~900 by default — mid-convergence; pass --steps 5000 for a
+        # converged-ish value). Marching/compositing redesigns that hurt
+        # quality show up here even when throughput improves.
+        "train_psnr": round(float(m["psnr"]), 2),
+        "train_steps": args.warmup_steps + args.steps,
         **({"fps_800": round(fps_pipelined, 2),
             "fps_vs_baseline": round(fps_pipelined / fps_baseline, 4),
             "fps_t_threshold": args.fps_t_threshold,

@@ -88,6 +88,15 @@ class NGPConfig:
     # NeRFSystem.setup computes this from the dataset's camera directions;
     # direct users with non-unit rays must set it themselves.
     dir_norm: float = 1.0
+    # stage-A pooling factor for the TRAINING march (0 = the G/2 coarse
+    # table). At the bench config the G/2 stage-A cell fits barely 2 strata
+    # per 8^3 neighborhood row, so stage A pays ~1 row gather per 2 strata
+    # per ray — the march's dominant cost; a G/pool_a table (pool_a = 4)
+    # fits ~2x more. Extra stage-A false positives only cost exact stage-B
+    # row tests in TRAINING (field evals are fixed at N*s_flat); the test
+    # renderer keeps the G/2 table (a false-positive stratum there wastes a
+    # whole padded field iteration — the r4 dilate-2 FPS regression).
+    pool_a: int = 0
 
     @property
     def cascades(self) -> int:
@@ -148,6 +157,8 @@ class OccupancyState:
     fine_nbr: jnp.ndarray        # (G^3, 16) uint32 exact fine rows
     union_bits: jnp.ndarray      # (G^3//8,) uint8 dilated world-space union
     #                              of all cascades (multi-cascade marching)
+    pool_nbr: jnp.ndarray = None  # ((G/pool_a)^3, 16) uint32 pooled stage-A
+    #                               rows for the TRAINING march (cfg.pool_a)
 
     def tree_flatten_with_keys(self):
         return ((jax.tree_util.GetAttrKey("density_grid"), self.density_grid),
@@ -158,7 +169,8 @@ class OccupancyState:
                  self.coarse_bitfield),
                 (jax.tree_util.GetAttrKey("coarse_nbr"), self.coarse_nbr),
                 (jax.tree_util.GetAttrKey("fine_nbr"), self.fine_nbr),
-                (jax.tree_util.GetAttrKey("union_bits"), self.union_bits)), \
+                (jax.tree_util.GetAttrKey("union_bits"), self.union_bits),
+                (jax.tree_util.GetAttrKey("pool_nbr"), self.pool_nbr)), \
             None
 
     @classmethod
@@ -167,11 +179,11 @@ class OccupancyState:
 
     @staticmethod
     def _nbr_tables(density_bitfield, cfg: "NGPConfig"):
-        from ..ops.morton import occupancy_nbr_tables
+        from ..ops.morton import occupancy_nbr_tables, pooled_stage_a_table
         from ..ops.ray_march import twolevel_stratum
         if cfg.cascades != 1:
             z = jnp.zeros((1, 16), jnp.uint32)
-            return z, z
+            return z, z, z
         # the march buys stage-A conservativeness with multiple probe
         # points per stratum at this fixed ±1-cell dilation
         # (ops/ray_march.twolevel_stratum + stage_a_probes); the call keeps
@@ -179,8 +191,14 @@ class OccupancyState:
         _, dilate = twolevel_stratum(0.0, cfg.max_samples, cfg.scale,
                                      cfg.grid_size, cfg.cascades,
                                      cfg.dir_norm)
-        return occupancy_nbr_tables(density_bitfield, cfg.grid_size,
-                                    dilate=max(dilate, 1))
+        coarse_nbr, fine_nbr = occupancy_nbr_tables(
+            density_bitfield, cfg.grid_size, dilate=max(dilate, 1))
+        if cfg.pool_a:
+            pool_nbr = pooled_stage_a_table(density_bitfield, cfg.grid_size,
+                                            pool=cfg.pool_a, dilate=1)
+        else:
+            pool_nbr = jnp.zeros((1, 16), jnp.uint32)
+        return coarse_nbr, fine_nbr, pool_nbr
 
     @staticmethod
     def _union_bits(density_bitfield, cfg: "NGPConfig"):
@@ -200,6 +218,7 @@ class OccupancyState:
         one = c == 1
         multi = OccupancyState._union_bits(
             jnp.zeros((c * n // 8,), jnp.uint8), cfg).shape[0] > 1
+        n_pool = (n // cfg.pool_a ** 3) if (one and cfg.pool_a) else 1
         return OccupancyState(
             density_grid=jnp.zeros((c, n), jnp.float32),
             density_bitfield=jnp.zeros((c * n // 8,), jnp.uint8),
@@ -208,6 +227,7 @@ class OccupancyState:
             coarse_nbr=jnp.zeros((n // 8 if one else 1, 16), jnp.uint32),
             fine_nbr=jnp.zeros((n if one else 1, 16), jnp.uint32),
             union_bits=jnp.zeros((n // 8 if multi else 1,), jnp.uint8),
+            pool_nbr=jnp.zeros((n_pool, 16), jnp.uint32),
         )
 
     def refresh_coarse(self, cfg: NGPConfig) -> "OccupancyState":
@@ -215,11 +235,12 @@ class OccupancyState:
         union bitfield) from density_bitfield (after ckpt load / direct
         bitfield edits)."""
         from ..ops.morton import coarse_bitfield_from_fine
-        coarse_nbr, fine_nbr = self._nbr_tables(self.density_bitfield, cfg)
+        coarse_nbr, fine_nbr, pool_nbr = self._nbr_tables(
+            self.density_bitfield, cfg)
         return dataclasses.replace(
             self, coarse_bitfield=coarse_bitfield_from_fine(
                 self.density_bitfield, cfg.grid_size, cfg.cascades),
-            coarse_nbr=coarse_nbr, fine_nbr=fine_nbr,
+            coarse_nbr=coarse_nbr, fine_nbr=fine_nbr, pool_nbr=pool_nbr,
             union_bits=self._union_bits(self.density_bitfield, cfg))
 
 
@@ -509,7 +530,8 @@ class NGP:
         from ..ops.morton import coarse_bitfield_from_fine
         coarse = coarse_bitfield_from_fine(bitfield, cfg.grid_size,
                                            cfg.cascades)
-        coarse_nbr, fine_nbr = OccupancyState._nbr_tables(bitfield, cfg)
+        coarse_nbr, fine_nbr, pool_nbr = OccupancyState._nbr_tables(
+            bitfield, cfg)
         return OccupancyState(density_grid=new_grid,
                               density_bitfield=bitfield,
                               count_grid=occ.count_grid,
@@ -517,4 +539,5 @@ class NGP:
                               coarse_nbr=coarse_nbr,
                               fine_nbr=fine_nbr,
                               union_bits=OccupancyState._union_bits(
-                                  bitfield, cfg))
+                                  bitfield, cfg),
+                              pool_nbr=pool_nbr)

@@ -214,12 +214,18 @@ def render_train(model, params, occ, rays_o, rays_d, key, rcfg: RenderConfig,
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
                                     cfg.cascades, dir_norm=cfg.dir_norm)
     if stratum:  # synthetic single-cascade scenes: gather-frugal march
+        # cfg.pool_a swaps stage A onto the coarser pooled table (more
+        # strata per row gather; false positives cost only exact stage-B
+        # tests — a training-only trade, see NGPConfig.pool_a)
+        pool_kw = (dict(nbr_a=occ.pool_nbr, g_a=cfg.grid_size // cfg.pool_a)
+                   if cfg.pool_a else {})
         mr = march_rays_train_twolevel(
             rays_o, rays_d, hits_t, occ.fine_nbr,
             occ.coarse_nbr, cfg.scale, rcfg.exp_step_factor,
             cfg.grid_size, rcfg.max_samples, noise,
             rcfg.n_rungs(cfg.scale, cfg.grid_size), rcfg.s_max_train,
-            stratum, s_strata=rcfg.s_strata, dir_norm=cfg.dir_norm)
+            stratum, s_strata=rcfg.s_strata, dir_norm=cfg.dir_norm,
+            **pool_kw)
     elif c_stratum:  # real scenes: union-grid strata, exact fine rungs
         mr = march_rays_train_cascades(
             rays_o, rays_d, hits_t, occ.density_bitfield, occ.union_bits,

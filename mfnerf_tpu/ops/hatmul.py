@@ -30,8 +30,16 @@ du is exact (hat subgradient 0 at the kinks), so pose refinement
 
 The op is numerically identical to the XLA dense-basis path up to matmul
 reassociation (same bf16 operand rounding); parity is tested in
-tests/test_hatmul.py in interpreter mode on CPU and the XLA path remains
-the non-TPU fallback (ops/lowrank.lowrank_encode chooses per backend).
+tests/test_hatmul.py in interpreter mode on CPU.
+
+STATUS: NOT integrated — no production path imports this module. The
+measured Mosaic build does not beat XLA on this formulation (fwd 13.1 vs
+10.4 ns/sample, bwd 9.9 vs 9.2 — the dense basis build is VPU-bound and
+XLA already overlaps it with the matmul, docs/TPU_NOTES.md round 3), so
+``ops/lowrank.lowrank_encode`` stays on the XLA path unconditionally. The
+kernel is kept, parity-tested, for the day Mosaic lands a usable
+``dynamic_gather`` lowering (the 2-reads-per-level formulation that would
+actually remove the VPU wall).
 """
 from __future__ import annotations
 

@@ -278,6 +278,9 @@ def pooled_stage_a_table(fine_bitfield: jnp.ndarray, grid_size: int,
         layout, row-indexed in raster order of the pooled grid).
     """
     g = grid_size
+    if g % pool:
+        raise ValueError(f"grid_size ({g}) must be divisible by the "
+                         f"stage-A pool factor ({pool})")
     gp = g // pool
     to_spatial, _ = _morton_spatial_perms(g)
     fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)

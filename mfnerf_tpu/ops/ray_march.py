@@ -190,15 +190,29 @@ def march_rays_train(rays_o, rays_d, hits_t, density_bitfield, cascades,
 
 
 def superstrata_len(stratum, dt_min, cell) -> int:
-    """Static count of consecutive stratum centers whose cells fit one 8^3
-    neighborhood row: the span of s centers, (s-1)*stratum*dt_min, must stay
-    within NBR_SPAN-1 cells so every center's cell lies in
-    min_cell + [0, NBR_SPAN)^3 (ops/morton.neighborhood_table). ``dt_min``
-    must be the worst-case SPATIAL step — t-step times the direction-norm
-    bound (directions are unnormalized; see twolevel_stratum)."""
+    """Static count of consecutive strata whose stage-A PROBE cells fit one
+    8^3 neighborhood row.
+
+    The span to bound is the full probe extent, not just the stratum
+    starts: probes sit at fractional offsets up to (stratum-1)(2p-1)/(2p)
+    < stratum-1 rungs past each start (:func:`stage_a_probes`), so s
+    strata's probes span < (s*stratum - 1)*dt_min. That must stay within
+    NBR_SPAN-1 cells so every probe's cell lies in min_cell +
+    [0, NBR_SPAN)^3 (ops/morton.neighborhood_table). Bounding only the
+    start offsets ((s-1)*stratum*dt_min, as rounds 3-4 did) lets p>=2
+    probes of the last stratum fall outside the window, where
+    neighborhood_lookup reads garbage bits and silently drops occupied
+    strata. ``dt_min`` must be the worst-case SPATIAL step — t-step times
+    the direction-norm bound (directions are unnormalized; see
+    twolevel_stratum)."""
     from .morton import NBR_SPAN
+    # single-stratum validity ((stratum-1)*dt_min fits the window) is the
+    # caller's stratum-selection contract (twolevel_stratum caps stratum at
+    # the FINE window, and the stage-A cell here is >= 2 fine cells)
+    assert (stratum - 1) * dt_min <= (NBR_SPAN - 1.0) * cell, \
+        "stratum probe span exceeds one neighborhood row"
     s = 1
-    while s < 16 and s * stratum * dt_min <= (NBR_SPAN - 1.0) * cell:
+    while s < 16 and ((s + 1) * stratum - 1) * dt_min <= (NBR_SPAN - 1.0) * cell:
         s += 1
     return s
 
@@ -249,6 +263,9 @@ def march_rays_train_twolevel(rays_o, rays_d, hits_t, fine_nbr,
     # stays a superset test, stage_a_probes)
     if nbr_a is None:
         nbr_a, g_c = coarse_nbr, grid_size // 2
+    elif g_a is None:
+        raise ValueError("nbr_a requires g_a (the pooled stage-A grid "
+                         "resolution, e.g. grid_size // 4)")
     else:
         g_c = g_a
     dt_min = SQRT3 / max_samples

@@ -104,7 +104,8 @@ class NeRFSystem:
             lr_fused=getattr(hparams, "lr_fused", False),
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
             else "float32",
-            max_samples=getattr(hparams, "max_samples", MAX_SAMPLES))
+            max_samples=getattr(hparams, "max_samples", MAX_SAMPLES),
+            pool_a=getattr(hparams, "pool_a", 0))
         self.model = NGP(self.model_cfg)
         if hparams.grid in ("Hash", "Window", "MixedFeature"):
             try:

@@ -121,6 +121,56 @@ def test_twolevel_matches_onelevel(density):
     assert agree.all() or exact.mean() > 0.98
 
 
+@pytest.mark.parametrize("pool,dir_norm", [(4, 1.0), (4, 1.25), (8, 1.0)])
+def test_twolevel_pooled_stage_a_matches_onelevel(pool, dir_norm):
+    """Stage A on a POOLED (G/pool) table (NGPConfig.pool_a training path)
+    must stay sample-for-sample conservative: the coarser dilated cell only
+    adds stage-A false positives, which the exact stage-B test discards, so
+    the emitted samples still match the one-level march exactly whenever
+    the strata budget holds."""
+    from mfnerf_tpu.ops.morton import pooled_stage_a_table
+
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(0.03, dir_norm=dir_norm)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1, dir_norm)
+    assert stratum >= 2
+    pool_nbr = pooled_stage_a_table(fine_bits, GRID, pool=pool, dilate=1)
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    one = march_rays_train(rays_o, rays_d, hits_t, fine_bits, 1, SCALE,
+                           0.0, GRID, MAX_SAMPLES, noise, k, 64)
+    two = march_rays_train_twolevel(
+        rays_o, rays_d, hits_t, fine_nbr, coarse_nbr, SCALE, 0.0, GRID,
+        MAX_SAMPLES, noise, k, 64, stratum, s_strata=64, dir_norm=dir_norm,
+        nbr_a=pool_nbr, g_a=GRID // pool)
+    n1, n2 = np.asarray(one.n_samples), np.asarray(two.n_samples)
+    exact = (n1 == n2)
+    assert exact.mean() > 0.98, f"only {exact.mean():.2%} rays agree"
+    m = exact[:, None] & np.asarray(one.mask)
+    np.testing.assert_allclose(np.where(m, np.asarray(one.ts), 0),
+                               np.where(m, np.asarray(two.ts), 0),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_pooled_stage_a_validation():
+    """nbr_a without g_a raises a clear error; non-divisible pool factors
+    are rejected with a descriptive message (ADVICE r4)."""
+    from mfnerf_tpu.ops.morton import pooled_stage_a_table
+
+    fine_bits, (fine_nbr, coarse_nbr), rays_o, rays_d, hits_t, noise = \
+        _setup(0.03)
+    stratum, _ = twolevel_stratum(0.0, MAX_SAMPLES, SCALE, GRID, 1)
+    pool_nbr = pooled_stage_a_table(fine_bits, GRID, pool=4, dilate=1)
+    k = max_ladder_steps(0.01, 2 * 1.7320508 * SCALE + 0.01, 0.0,
+                         MAX_SAMPLES, GRID, SCALE)
+    with pytest.raises(ValueError, match="g_a"):
+        march_rays_train_twolevel(
+            rays_o, rays_d, hits_t, fine_nbr, coarse_nbr, SCALE, 0.0, GRID,
+            MAX_SAMPLES, noise, k, 64, stratum, nbr_a=pool_nbr)
+    with pytest.raises(ValueError, match="divisible"):
+        pooled_stage_a_table(fine_bits, GRID, pool=5, dilate=1)
+
+
 @pytest.mark.parametrize("dir_norm", [1.25, 1.75])
 def test_twolevel_matches_onelevel_unnormalized_dirs(dir_norm):
     """Camera rays are UNNORMALIZED (|d| up to ~1.2 at a 53-deg-fov corner,
