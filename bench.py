@@ -45,6 +45,12 @@ def main():
                          "renderer: 'P,seek,window,cap' (e.g. '65536,64,"
                          "32,16'); 'none' forces the round-schedule "
                          "renderer. Default: RenderConfig default")
+    ap.add_argument("--fps_frames", type=int, default=1,
+                    help="batch N frames through ONE wavefront queue per "
+                         "dispatch (rendering.render_test_frames): the "
+                         "pool refills across frame boundaries so the "
+                         "drain tail is paid once per batch — the viewer/"
+                         "eval pipelining mode. 1 = per-frame dispatch")
     ap.add_argument("--fps_t_threshold", type=float, default=1e-2,
                     help="transmittance kill threshold for the FPS "
                          "measurement. The reference's published FPS "
@@ -228,6 +234,15 @@ def main():
                                ro, rd, fps_rcfg, camera=cam,
                                guided=guided)
 
+        def render_all_batched(fb):
+            from mfnerf_tpu.models.rendering import render_test_frames
+            outs = []
+            for i in range(0, 8, fb):
+                outs += render_test_frames(
+                    system.model, system.params, system.occ,
+                    frames[i:i + fb], fps_rcfg)
+            return outs
+
         # completion barrier: device_get of an on-device scalar. Over the
         # tunnel, block_until_ready has been observed to return BEFORE
         # execution finishes (probe_sorted_scatter read 0.1 ms for a 600 ms
@@ -253,8 +268,14 @@ def main():
                 lat.append(time.perf_counter() - t0)
             # pipelined (throughput): all frames in flight, one sync — the
             # ~30 ms tunnel round trip amortizes away, as in a real viewer
-            t0 = time.perf_counter()
-            outs = [render(i, guided) for i in range(8)]
+            fb = max(1, min(args.fps_frames, 8))
+            if fb > 1 and not guided:
+                fetch(render_all_batched(fb)[-1])  # compile + sync
+                t0 = time.perf_counter()
+                outs = render_all_batched(fb)
+            else:
+                t0 = time.perf_counter()
+                outs = [render(i, guided) for i in range(8)]
             for o in outs:
                 fetch(o)
             dt = (time.perf_counter() - t0) / 8
@@ -282,6 +303,7 @@ def main():
         **({"fps_800": round(fps_pipelined, 2),
             "fps_vs_baseline": round(fps_pipelined / fps_baseline, 4),
             "fps_t_threshold": args.fps_t_threshold,
+            "fps_frames": max(1, min(args.fps_frames, 8)),
             "fps_wavefront": list(fps_rcfg.wavefront)
             if fps_rcfg.wavefront is not None else None}
            if fps_pipelined is not None else {}),

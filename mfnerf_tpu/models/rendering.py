@@ -1103,6 +1103,69 @@ def _render_frame(model, params, occ, rcfg: RenderConfig, rays_o, rays_d,
     return rgb, opacity, depth, vr + vr_lo
 
 
+@partial(jax.jit, static_argnums=(0, 3, 7))
+def _render_frames_batch(model, params, occ, rcfg: RenderConfig,
+                         rays_o, rays_d, k_cams, img_wh, poses):
+    """MULTI-frame wavefront dispatch: F frames share ONE persistent pool.
+
+    The wavefront renderer's tail is its weak regime — once a frame's ray
+    queue drains, the pool pads its last iterations with dead rows, so a
+    pool big enough to amortize the per-iteration machinery (~0.5 ms of
+    fixed fusion overhead at P=2048, docs/TPU_NOTES.md round 4) starves at
+    the tail and loses the amortization to padding. Batching F frames
+    through one queue makes the tail a per-BATCH cost instead of
+    per-frame: the pool refills from frame i+1's rays the moment frame
+    i's queue drains (rows are frame-agnostic — each carries its global
+    pixel id into the concatenated output), so big-pool iterations stay
+    full for ~F times longer. This is the TPU analogue of the reference
+    GUI's frames-in-flight pipelining (its CUDA queue never goes idle
+    between frames), fused into one XLA dispatch.
+
+    Args:
+        rays_o, rays_d: (F, n, 3) per-frame rays.
+        k_cams: (F, 3, 3) intrinsics; poses: (F, 3, 4) c2w.
+        img_wh: static (w, h) shared by the batch.
+    Returns:
+        (rgb (F, n, 3), opacity (F, n), depth (F, n), vr_total) — before
+        background blending (the caller blends, as in render_test).
+    """
+    f, n = rays_o.shape[:2]
+    # per-frame rasterized prepass (a few ms each, replicated machinery):
+    # vmap shares one compiled splat across the batch
+    t_near, t_far = jax.vmap(
+        lambda k, p: rasterize_block_ranges(
+            model.cfg, occ.density_bitfield, k, p, img_wh))(k_cams, poses)
+    rgb, opacity, depth, vr = _render_test_wavefront(
+        model, params, occ, rays_o.reshape(f * n, 3),
+        rays_d.reshape(f * n, 3), rcfg,
+        t_near.reshape(-1), t_far.reshape(-1))
+    return (rgb.reshape(f, n, 3), opacity.reshape(f, n),
+            depth.reshape(f, n), vr)
+
+
+def render_test_frames(model, params, occ, frames, rcfg: RenderConfig):
+    """Render F frames through ONE wavefront queue (see
+    _render_frames_batch). ``frames`` is a list of (rays_o, rays_d,
+    (K, pose, img_wh)) tuples sharing a resolution; single-cascade
+    synthetic scenes only (the prepass + wavefront requirements of
+    render_test's camera path). Returns a list of per-frame dicts matching
+    render_test's output."""
+    assert rcfg.wavefront is not None and rcfg.exp_step_factor == 0 \
+        and model.cfg.cascades == 1
+    rays_o = jnp.stack([fr[0] for fr in frames])
+    rays_d = jnp.stack([fr[1] for fr in frames])
+    k_cams = jnp.stack([jnp.asarray(fr[2][0], jnp.float32)
+                        for fr in frames])
+    poses = jnp.stack([jnp.asarray(fr[2][1], jnp.float32)[:3, :4]
+                       for fr in frames])
+    img_wh = (int(frames[0][2][2][0]), int(frames[0][2][2][1]))
+    rgb, opacity, depth, vr = _render_frames_batch(
+        model, params, occ, rcfg, rays_o, rays_d, k_cams, img_wh, poses)
+    rgb = rgb + jnp.ones(3) * (1.0 - opacity)[..., None]  # synthetic: white
+    return [{"rgb": rgb[i], "opacity": opacity[i], "depth": depth[i],
+             "total_samples": vr} for i in range(len(frames))]
+
+
 def render_test(model, params, occ, rays_o, rays_d, rcfg: RenderConfig,
                 camera=None, guided=False, exposure=None):
     """Full-image test rendering via the multi-round alive-ray renderer.

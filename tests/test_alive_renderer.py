@@ -289,3 +289,43 @@ def test_dense_oracle_resumes_past_s_max_test():
                                np.asarray(res_big["rgb"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(res_wf["opacity"]),
                                np.asarray(res_big["opacity"]), atol=2e-4)
+
+def test_multiframe_batch_matches_per_frame():
+    """render_test_frames (F frames through ONE wavefront queue) must
+    reproduce the per-frame render_test images exactly: the pool is
+    frame-agnostic — batching only changes WHEN rows enter the pool, not
+    the samples any ray composites."""
+    import jax
+    from mfnerf_tpu.datasets.ray_utils import get_rays
+    from mfnerf_tpu.models.ngp import NGP, NGPConfig, OccupancyState
+    from mfnerf_tpu.models.rendering import render_test_frames
+    from mfnerf_tpu.utils.procedural import make_scene
+
+    scene = make_scene(n_train=2, n_test=3, wh=32, seed=5)
+    cfg = NGPConfig(grid="LowRank", lr_levels=2, lr_rank=8, lr_k_max=64,
+                    grid_size=32, scale=0.5)
+    model = NGP(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    occ = OccupancyState.create(cfg)
+    occ = model.update_density_grid(params, occ, jax.random.PRNGKey(1),
+                                    density_threshold=0.01, warmup=True)
+
+    rcfg = RenderConfig(max_samples=128, wavefront=(96, 0, 64, 8))
+    directions = jnp.asarray(scene["directions"])
+    frames = []
+    singles = []
+    for i in range(3):
+        pose = jnp.asarray(scene["test_poses"][i])
+        rays_o, rays_d = get_rays(directions, pose)
+        cam = (scene["K"], pose, (32, 32))
+        frames.append((rays_o, rays_d, cam))
+        singles.append(render_test(model, params, occ, rays_o, rays_d,
+                                   rcfg, camera=cam))
+    batched = render_test_frames(model, params, occ, frames, rcfg)
+    for single, multi in zip(singles, batched):
+        np.testing.assert_allclose(np.asarray(multi["rgb"]),
+                                   np.asarray(single["rgb"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(multi["opacity"]),
+                                   np.asarray(single["opacity"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(multi["depth"]),
+                                   np.asarray(single["depth"]), atol=2e-3)
