@@ -69,9 +69,32 @@ def _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
                 for i in range(4)]
         [_sync(o[0]) for o in outs]
         pipe = (time.perf_counter() - t0) / 4
+        batched = ""
+        if args.batch_frames > 1:
+            # multi-frame batching (rendering.render_test_frames semantics):
+            # fb epsilon-perturbed copies of the frame through ONE queue —
+            # the tail is paid once per batch, big pools stay full
+            fb = args.batch_frames
+            ro_b = jnp.concatenate([rays_o + (i + 1) * 1e-6
+                                    for i in range(fb)])
+            rd_b = jnp.concatenate([rays_d] * fb)
+            tn_b = (jnp.concatenate([t_near] * fb)
+                    if t_near is not None else None)
+            tf_b = (jnp.concatenate([t_far] * fb)
+                    if t_far is not None else None)
+            out_b = _render_test_wavefront(model, params, occ, ro_b, rd_b,
+                                           r2, tn_b, tf_b)
+            _sync(out_b[0])  # compile
+            t0 = time.perf_counter()
+            outs = [_render_test_wavefront(
+                model, params, occ, ro_b + (j + 20) * 1e-6, rd_b, r2,
+                tn_b, tf_b) for j in range(2)]
+            [_sync(o[0]) for o in outs]
+            bt = (time.perf_counter() - t0) / (2 * fb)
+            batched = f", x{fb}-batched {bt * 1e3:8.1f} ms ({1 / bt:.2f} fps)"
         print(f"  {name}: blocking {min(ts) * 1e3:8.1f} ms/frame, "
-              f"pipelined {pipe * 1e3:8.1f} ms ({1 / pipe:.2f} fps) "
-              f"vr={int(out[3])} {note}", flush=True)
+              f"pipelined {pipe * 1e3:8.1f} ms ({1 / pipe:.2f} fps)"
+              f"{batched} vr={int(out[3])} {note}", flush=True)
 
 
 def main():
@@ -80,6 +103,10 @@ def main():
     ap.add_argument("--wh", type=int, default=800)
     ap.add_argument("--warmup_steps", type=int, default=288)
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--batch_frames", type=int, default=0,
+                    help="additionally time each wavefront config with N "
+                         "frames batched through ONE queue (multi-frame "
+                         "amortization, rendering.render_test_frames)")
     ap.add_argument("--lr_fused", type=int, default=1)
     ap.add_argument("--no_prepass", action="store_true")
     ap.add_argument("--schedule", type=str, default=None,

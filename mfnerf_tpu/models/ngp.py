@@ -179,7 +179,7 @@ class OccupancyState:
 
     @staticmethod
     def _nbr_tables(density_bitfield, cfg: "NGPConfig"):
-        from ..ops.morton import occupancy_nbr_tables, pooled_stage_a_table
+        from ..ops.morton import occupancy_nbr_tables
         from ..ops.ray_march import twolevel_stratum
         if cfg.cascades != 1:
             z = jnp.zeros((1, 16), jnp.uint32)
@@ -191,14 +191,12 @@ class OccupancyState:
         _, dilate = twolevel_stratum(0.0, cfg.max_samples, cfg.scale,
                                      cfg.grid_size, cfg.cascades,
                                      cfg.dir_norm)
-        coarse_nbr, fine_nbr = occupancy_nbr_tables(
-            density_bitfield, cfg.grid_size, dilate=max(dilate, 1))
+        tables = occupancy_nbr_tables(density_bitfield, cfg.grid_size,
+                                      dilate=max(dilate, 1),
+                                      pool_a=cfg.pool_a)
         if cfg.pool_a:
-            pool_nbr = pooled_stage_a_table(density_bitfield, cfg.grid_size,
-                                            pool=cfg.pool_a, dilate=1)
-        else:
-            pool_nbr = jnp.zeros((1, 16), jnp.uint32)
-        return coarse_nbr, fine_nbr, pool_nbr
+            return tables
+        return tables[0], tables[1], jnp.zeros((1, 16), jnp.uint32)
 
     @staticmethod
     def _union_bits(density_bitfield, cfg: "NGPConfig"):

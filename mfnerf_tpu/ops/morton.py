@@ -123,16 +123,14 @@ def coarse_bitfield_from_fine(fine_bitfield: jnp.ndarray, grid_size: int,
     g2 = grid_size // 2
     per = g2 ** 3
     coarse = (fine_bitfield.reshape(cascades, per) != 0)
-    to_spatial, to_morton = _morton_spatial_perms(g2)
     out = []
     for c in range(cascades):
-        spatial = coarse[c][jnp.asarray(to_spatial)].reshape(g2, g2, g2)
-        d = spatial
+        d = morton_values_to_spatial(coarse[c], g2)
         for axis in range(3):
             d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
         # jnp.roll wraps; boundary wrap marks a few spurious edge cells
         # occupied — conservative, never drops a sample
-        out.append(d.reshape(-1)[jnp.asarray(to_morton)])
+        out.append(spatial_to_morton_values(d, g2))
     coarse_morton = jnp.stack(out).reshape(-1, 8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
     return (coarse_morton.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
@@ -143,6 +141,34 @@ def _unpack_bits_morton(bitfield: jnp.ndarray, n_cells: int) -> jnp.ndarray:
     bits = (bitfield[:, None] >> jnp.arange(8, dtype=jnp.uint8)) \
         & jnp.uint8(1)
     return bits.reshape(-1)[:n_cells].astype(jnp.bool_)
+
+
+def morton_values_to_spatial(v: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(g^3,) Morton-ordered per-cell values -> (g, g, g) raster [z, y, x].
+
+    XLA gather cost is per ROW regardless of width (docs/TPU_NOTES.md), so
+    instead of permuting g^3 cells with a flat gather (the dominant cost of
+    every occupancy-table rebuild at g=128: ~2M random rows), gather
+    (g/2)^3 rows of 8 values — each row is exactly a Morton 2x2x2 child
+    block (bit i covers offset x0=i&1, y0=i>>1&1, z0=i>>2) — and expand the
+    blocks into place with a reshape/transpose: 8x fewer gather rows, the
+    rest is a contiguous relayout XLA streams.
+    """
+    g2 = g // 2
+    to_spatial, _ = _morton_spatial_perms(g2)
+    rows = v.reshape(g2 ** 3, 8)[jnp.asarray(to_spatial)]
+    a = rows.reshape(g2, g2, g2, 2, 2, 2)   # [..., z0, y0, x0]
+    return a.transpose(0, 3, 1, 4, 2, 5).reshape(g, g, g)
+
+
+def spatial_to_morton_values(a: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(g, g, g) raster [z, y, x] -> (g^3,) Morton-ordered values (inverse
+    of :func:`morton_values_to_spatial`, same 8-wide-row gather trick)."""
+    g2 = g // 2
+    _, to_morton = _morton_spatial_perms(g2)
+    blocks = a.reshape(g2, 2, g2, 2, g2, 2).transpose(0, 2, 4, 1, 3, 5)
+    rows = blocks.reshape(g2 ** 3, 8)[jnp.asarray(to_morton)]
+    return rows.reshape(-1)
 
 
 NBR_SPAN = 8  # neighborhood-row window width in cells (span <= NBR_SPAN-1)
@@ -220,33 +246,60 @@ def neighborhood_lookup(table: jnp.ndarray, anchor: jnp.ndarray,
 
 
 def occupancy_nbr_tables(fine_bitfield: jnp.ndarray, grid_size: int,
-                         dilate: int = 1):
+                         dilate: int = 1, pool_a: int = 0):
     """Neighborhood tables for two-level marching (single-cascade scenes).
 
     Args:
         dilate: coarse dilation radius in cells — must match (be >=) the
             ``dilate`` half of ray_march.twolevel_stratum so the stage-A
             center test conservatively covers the whole stratum.
+        pool_a: when nonzero, ALSO build the pooled (g/pool_a) stage-A
+            table (see :func:`pooled_stage_a_table`) from the same
+            unpacked fine grid — the unpack + Morton->raster permute of
+            the g^3 cells is a ~2M-row gather, the dominant table-build
+            cost, and building the pooled table separately would pay it
+            twice per occupancy refresh.
     Returns:
-        (coarse_nbr, fine_nbr): 8^3-neighborhood rows of the DILATED
-        half-resolution grid ((g/2)^3, 16) and of the exact fine grid
-        ((g^3, 16)); see neighborhood_table. The coarse grid reuses the
-        Morton-byte pooling + dilation of :func:`coarse_bitfield_from_fine`.
+        (coarse_nbr, fine_nbr[, pool_nbr]): 8^3-neighborhood rows of the
+        DILATED half-resolution grid ((g/2)^3, 16), of the exact fine grid
+        ((g^3, 16)), and — with ``pool_a`` — of the dilated pooled grid;
+        see neighborhood_table. The coarse grid reuses the Morton-byte
+        pooling + dilation of :func:`coarse_bitfield_from_fine`.
     """
     g = grid_size
     g2 = g // 2
-    to_spatial_c, _ = _morton_spatial_perms(g2)
-    coarse = (fine_bitfield[: g2 ** 3] != 0)[jnp.asarray(to_spatial_c)] \
-        .reshape(g2, g2, g2)
+    coarse = morton_values_to_spatial(fine_bitfield[: g2 ** 3] != 0, g2)
     d = coarse
     for axis in range(3):
         for _ in range(dilate):
             d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
 
-    to_spatial_f, _ = _morton_spatial_perms(g)
-    fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)
-    fine = fine[jnp.asarray(to_spatial_f)].reshape(g, g, g)
-    return neighborhood_table(d), neighborhood_table(fine)
+    fine = morton_values_to_spatial(
+        _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3), g)
+    if not pool_a:
+        return neighborhood_table(d), neighborhood_table(fine)
+    return (neighborhood_table(d), neighborhood_table(fine),
+            _pooled_table_from_spatial(fine, pool_a, dilate=1))
+
+
+def _pooled_table_from_spatial(fine_spatial: jnp.ndarray, pool: int,
+                               dilate: int = 1) -> jnp.ndarray:
+    """Pooled stage-A neighborhood rows from an already-unpacked (g, g, g)
+    spatial occupancy grid (shared-unpack core of
+    :func:`pooled_stage_a_table`)."""
+    g = fine_spatial.shape[0]
+    if g % pool:
+        raise ValueError(f"grid_size ({g}) must be divisible by the "
+                         f"stage-A pool factor ({pool})")
+    gp = g // pool
+    pooled = fine_spatial.reshape(gp, pool, gp, pool, gp, pool) \
+        .any(axis=(1, 3, 5))
+    d = pooled
+    for axis in range(3):
+        for _ in range(dilate):
+            # jnp.roll wraps; spurious edge cells are conservative
+            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+    return neighborhood_table(d)
 
 
 def pooled_stage_a_table(fine_bitfield: jnp.ndarray, grid_size: int,
@@ -281,17 +334,9 @@ def pooled_stage_a_table(fine_bitfield: jnp.ndarray, grid_size: int,
     if g % pool:
         raise ValueError(f"grid_size ({g}) must be divisible by the "
                          f"stage-A pool factor ({pool})")
-    gp = g // pool
-    to_spatial, _ = _morton_spatial_perms(g)
-    fine = _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3)
-    fine = fine[jnp.asarray(to_spatial)].reshape(g, g, g)
-    pooled = fine.reshape(gp, pool, gp, pool, gp, pool).any(axis=(1, 3, 5))
-    d = pooled
-    for axis in range(3):
-        for _ in range(dilate):
-            # jnp.roll wraps; spurious edge cells are conservative
-            d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
-    return neighborhood_table(d)
+    fine = morton_values_to_spatial(
+        _unpack_bits_morton(fine_bitfield[: g ** 3 // 8], g ** 3), g)
+    return _pooled_table_from_spatial(fine, pool, dilate=dilate)
 
 
 def union_bitfield(fine_bitfield: jnp.ndarray, grid_size: int,
@@ -314,13 +359,11 @@ def union_bitfield(fine_bitfield: jnp.ndarray, grid_size: int,
         bitfield_lookup addressing as the per-cascade fields).
     """
     g = grid_size
-    to_spatial, to_morton = _morton_spatial_perms(g)
     union = jnp.zeros((g, g, g), jnp.bool_)
     for c in range(cascades):
         f = 1 << (cascades - 1 - c)
-        occ = _unpack_bits_morton(
-            fine_bitfield[c * g ** 3 // 8:(c + 1) * g ** 3 // 8], g ** 3)
-        occ = occ[jnp.asarray(to_spatial)].reshape(g, g, g)
+        occ = morton_values_to_spatial(_unpack_bits_morton(
+            fine_bitfield[c * g ** 3 // 8:(c + 1) * g ** 3 // 8], g ** 3), g)
         if f > 1:
             gf = g // f
             pooled = occ.reshape(gf, f, gf, f, gf, f).any(axis=(1, 3, 5))
@@ -334,7 +377,7 @@ def union_bitfield(fine_bitfield: jnp.ndarray, grid_size: int,
         for _ in range(dilate):
             # wrap-around marks a few spurious edge cells: conservative
             d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
-    d_m = d.reshape(-1)[jnp.asarray(to_morton)].reshape(-1, 8)
+    d_m = spatial_to_morton_values(d, g).reshape(-1, 8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
     return (d_m.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
 

@@ -184,16 +184,18 @@ def get_opts(argv=None):
                              'and multi-cascade scenes (scale > 0.5) force '
                              '0 — their rm_s ~50 would overflow the flat '
                              'budget and destabilize training (measured)')
-    parser.add_argument('--pool_a', type=int, default=0,
+    parser.add_argument('--pool_a', type=int, default=4,
                         help='[tpu] TRAINING-march stage-A pooling factor '
                              '(single-cascade scenes): 0 uses the G/2 '
-                             'coarse table; 4 tests a G/4 table whose 8^3 '
-                             'neighborhood rows cover ~2x more strata per '
+                             'coarse table; the default G/4 table\'s 8^3 '
+                             'neighborhood rows cover ~3x more strata per '
                              'gather — fewer stage-A row gathers at the '
                              'cost of stage-A false positives the exact '
                              'stage-B test discards (models/ngp.py '
-                             'NGPConfig.pool_a). Test rendering always '
-                             'keeps the G/2 table')
+                             'NGPConfig.pool_a; measured 12.5 -> 11.1 '
+                             'ms/step, quality-neutral). Test rendering '
+                             'always keeps the G/2 table. Ignored (0) when '
+                             'grid_size is not divisible by it')
     parser.add_argument('--wavefront', type=str, default='auto',
                         help='[tpu] test/validation renderer: "auto" keeps '
                              'the RenderConfig default (persistent-pool '

@@ -105,7 +105,12 @@ class NeRFSystem:
             compute_dtype="bfloat16" if getattr(hparams, "bf16", False)
             else "float32",
             max_samples=getattr(hparams, "max_samples", MAX_SAMPLES),
-            pool_a=getattr(hparams, "pool_a", 0))
+            # pooled stage-A table only for grid sizes it divides (the
+            # march asserts conservativeness bounds; odd grids fall back
+            # to the G/2 coarse table)
+            pool_a=(getattr(hparams, "pool_a", 0)
+                    if getattr(hparams, "grid_size", 128)
+                    % max(getattr(hparams, "pool_a", 0), 1) == 0 else 0))
         self.model = NGP(self.model_cfg)
         if hparams.grid in ("Hash", "Window", "MixedFeature"):
             try:
