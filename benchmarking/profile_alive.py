@@ -44,7 +44,8 @@ def _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
     _sync(oracle["rgb"])
     from mfnerf_tpu.models.rendering import parse_wavefront
     for name, wf in json.loads(args.wavefronts).items():
-        r2 = dataclasses.replace(rcfg, wavefront=parse_wavefront(wf))
+        r2 = dataclasses.replace(rcfg, wavefront=parse_wavefront(wf),
+                                 wavefront_stats=True)
         out = _render_test_wavefront(model, params, occ, rays_o, rays_d,
                                      r2, t_near, t_far)
         _sync(out[0])
@@ -92,9 +93,17 @@ def _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,
             [_sync(o[0]) for o in outs]
             bt = (time.perf_counter() - t0) / (2 * fb)
             batched = f", x{fb}-batched {bt * 1e3:8.1f} ms ({1 / bt:.2f} fps)"
+        it_n = int(out[4])
+        wf_t = r2.wavefront
+        pool0 = wf_t[0][0] if isinstance(wf_t[0], tuple) else wf_t[0]
+        slots = it_n * pool0 * wf_t[3]
         print(f"  {name}: blocking {min(ts) * 1e3:8.1f} ms/frame, "
               f"pipelined {pipe * 1e3:8.1f} ms ({1 / pipe:.2f} fps)"
-              f"{batched} vr={int(out[3])} {note}", flush=True)
+              f"{batched} vr={int(out[3])} iters={it_n} "
+              f"fill={int(out[3]) / max(slots, 1):.2f} "
+              f"ms/iter={min(ts) * 1e3 / max(it_n, 1):.3f} "
+              f"n_valid={int(out[5])} {note}",
+              flush=True)
 
 
 def main():
@@ -133,9 +142,9 @@ def main():
                          "machinery cost at matched work (sigma 500 kills "
                          "rays in ~4 samples; ~150 matches a converged "
                          "bench-scene frame's ~17/ray)")
-    ap.add_argument("--pre_block", type=int, default=16,
+    ap.add_argument("--pre_block", type=int, default=8,
                     help="rasterized-prepass pixel block size")
-    ap.add_argument("--pre_dilate", type=int, default=3,
+    ap.add_argument("--pre_dilate", type=int, default=2,
                     help="rasterized-prepass block dilation")
     ap.add_argument("--t_threshold", type=float, default=None,
                     help="override rcfg.T_threshold (the reference's "
@@ -144,6 +153,10 @@ def main():
     ap.add_argument("--eval_chunk", type=int, default=None,
                     help="override rcfg.eval_chunk (0 disables chunked "
                          "padded-round field eval)")
+    ap.add_argument("--prepasses", type=str, default=None,
+                    help="JSON dict {name: [pre_block, pre_dilate]}: run "
+                         "the --wavefronts sweep once per prepass setting "
+                         "in ONE process (prepass-tightness tuning)")
     ap.add_argument("--wavefronts", type=str, default=None,
                     help="JSON dict {name: [pool, seek_w, window, cap]}: "
                          "time the persistent-pool wavefront renderer with "
@@ -157,6 +170,12 @@ def main():
     ap.add_argument("--lr_k_max", type=int, default=512,
                     help="LowRank finest-level knots (field cost ~ K; the "
                          "render-field-cost lever)")
+    ap.add_argument("--state", type=str, default=None,
+                    help="warmed-state cache path (.npz): load params/occ "
+                         "and SKIP the warmup when the file exists, else "
+                         "train the warmup and save. The file encodes no "
+                         "config — the caller must keep scene/model flags "
+                         "consistent between save and load")
     ap.add_argument("--no_prefix", action="store_true",
                     help="skip per-round prefix timing (each prefix is a "
                          "separate slow tunnel compile); report only the "
@@ -207,21 +226,34 @@ def main():
     rays = jnp.asarray(system.train_dataset.rays)
     hw = args.wh * args.wh
 
-    fused = system.make_fused_train_fn(n_img=16, hw=hw)
-    key = jax.random.PRNGKey(1)
-    step = 0
-    chunks = [96] * (args.warmup_steps // 96)
-    if args.warmup_steps % 96:
-        chunks.append(args.warmup_steps % 96)
-    for n in chunks:
-        key, sub = jax.random.split(key)
-        system.params, system.opt_state, system.occ, m = fused(
-            system.params, system.opt_state, system.occ, system.poses,
-            system.directions, rays, sub, step, n)
-        step += n
-    _sync(m["loss"])
-    print(f"warmup: psnr {float(m['psnr']):.2f} rm_s {float(m['rm_s']):.1f}",
-          file=sys.stderr)
+    if args.state and os.path.exists(args.state):
+        from mfnerf_tpu.utils.ckpt import load_ckpt
+        loaded = load_ckpt(args.state, like={"params": system.params,
+                                             "occ": system.occ})
+        system.params, system.occ = loaded["params"], loaded["occ"]
+        print(f"state: loaded {args.state} (warmup skipped)",
+              file=sys.stderr)
+    else:
+        fused = system.make_fused_train_fn(n_img=16, hw=hw)
+        key = jax.random.PRNGKey(1)
+        step = 0
+        chunks = [96] * (args.warmup_steps // 96)
+        if args.warmup_steps % 96:
+            chunks.append(args.warmup_steps % 96)
+        for n in chunks:
+            key, sub = jax.random.split(key)
+            system.params, system.opt_state, system.occ, m = fused(
+                system.params, system.opt_state, system.occ, system.poses,
+                system.directions, rays, sub, step, n)
+            step += n
+        _sync(m["loss"])
+        print(f"warmup: psnr {float(m['psnr']):.2f} "
+              f"rm_s {float(m['rm_s']):.1f}", file=sys.stderr)
+        if args.state:
+            from mfnerf_tpu.utils.ckpt import save_ckpt
+            save_ckpt(args.state, jax.device_get(system.params),
+                      occ=jax.device_get(system.occ), step=step)
+            print(f"state: saved {args.state}", file=sys.stderr)
 
     model, params, occ = system.model, system.params, system.occ
     cfg, rcfg = system.model_cfg, system.rcfg
@@ -253,7 +285,11 @@ def main():
 
     if args.field_probe:
         import functools
-        for npts in (2 ** 21,):
+        # sweep batch sizes: XLA fuses the hat-basis build into the encoder
+        # matmul at small N but materializes the (N, K) basis to HBM at
+        # large N (measured 13.4 ns/sample at 1M vs 40.7 at 2M) — the knee
+        # sets both rcfg.eval_chunk and the wavefront pool*cap slot count
+        for npts in (2 ** 15, 2 ** 17, 2 ** 19, 2 ** 20, 2 ** 21):
             xyz = jax.random.uniform(jax.random.PRNGKey(7), (npts, 3),
                                      minval=-0.5, maxval=0.5)
             dirs = jax.random.normal(jax.random.PRNGKey(8), (npts, 3))
@@ -329,6 +365,32 @@ def main():
               f"{min(time_prepass() for _ in range(3)) * 1e3:.1f} ms")
 
     schedule = rcfg.rounds if t_near is not None else rcfg.rounds_full
+
+    if args.prepasses:
+        # prepass-tightness sweep: same wavefront config under different
+        # rasterized-prepass (block, dilate) settings — n_valid (rays that
+        # enter the pool) is the quantity being tuned, psnr-vs-oracle the
+        # conservativeness guard (the oracle never uses a prepass)
+        import json
+        for name, (blk, dil) in json.loads(args.prepasses).items():
+            def raster():
+                t0 = time.perf_counter()
+                tn, tf = rasterize_block_ranges(
+                    cfg, occ.density_bitfield,
+                    jnp.asarray(system.test_dataset.K, jnp.float32),
+                    jnp.asarray(batch["pose"], jnp.float32)[:3, :4],
+                    (args.wh, args.wh), int(blk), int(dil))
+                _sync(tn)
+                return time.perf_counter() - t0, tn, tf
+            raster()  # compile
+            runs = [raster() for _ in range(3)]
+            dt = min(r[0] for r in runs)
+            tn, tf = runs[-1][1], runs[-1][2]
+            print(f"prepass {name} (block {blk}, dilate {dil}): "
+                  f"{dt * 1e3:.1f} ms", flush=True)
+            _sweep_wavefronts(args, rcfg, model, params, occ, rays_o,
+                              rays_d, tn, tf)
+        return
 
     if args.wavefronts:
         _sweep_wavefronts(args, rcfg, model, params, occ, rays_o, rays_d,

@@ -129,6 +129,9 @@ class RenderConfig:
     # condition): must exceed the worst case (n/P) * ceil(k_total/window)
     # iterations of a fully-dense frame — 4096 did not at 640k rays/P=2048
     wavefront_max_iters: int = 1 << 16
+    # profiling: _render_test_wavefront returns (rgb, op, depth, vr, iters)
+    # instead of 4 outputs — iteration count sizes per-iteration cost/fill
+    wavefront_stats: bool = False
 
     def n_rungs(self, scale: float, grid_size: int = 128,
                 test: bool = False) -> int:
@@ -151,10 +154,10 @@ class RenderConfig:
 def parse_wavefront(spec):
     """Parse a wavefront tuple from CLI text / JSON lists.
 
-    ``"none"`` -> None (round-schedule renderer). Otherwise 4 comma-separated
-    fields ``P,seek,window,cap`` where ``P`` may be a colon-separated pool
-    CASCADE (e.g. ``"32768:2048,0,128,16"``); JSON callers may pass a list
-    whose first element is itself a list.
+    ``"none"`` -> None (round-schedule renderer). Otherwise comma-separated
+    fields ``P,seek,window,cap[,s_strata]`` where ``P`` may be a
+    colon-separated pool CASCADE (e.g. ``"32768:2048,0,128,16"``); JSON
+    callers may pass a list whose first element is itself a list.
     """
     if spec is None:
         return None
@@ -390,8 +393,8 @@ def _render_test_chunk(model, params, occ, rays_o, rays_d, rcfg,
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
-                           dilate=3):
+def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=8,
+                           dilate=2):
     """Splat occupied coarse cells into per-pixel-block [t_near, t_far].
 
     The test-time empty-space skip re-thought for TPU: instead of testing
@@ -401,6 +404,15 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=16,
     range conservatively. Rays then start marching at their block's t_near
     and exhaust at t_far. Dilation by ``dilate`` blocks plus a near-camera
     fallback keep the bound a strict superset of visible content.
+
+    Default (8, 2) is the r5 tightness-sweep winner: every valid ray costs
+    >= 1 pool row-iteration (~0.35 us) in the wavefront renderer, so
+    n_valid is a first-order frame cost — (8, 2) cut it 291k -> 192k
+    (6.0 -> 8.1 fps) on the converged bench scene, still oracle-exact.
+    Tighter (block 4, or dilate 1) trips the ``d_safe`` near-camera
+    fallback — cell footprints exceed the dilated spill margin — and
+    degrades to a full-range march (measured 3.7 fps); looser settings
+    admit background rays that march emitting nothing.
 
     Args:
         cfg: NGPConfig (static; single cascade).
@@ -870,7 +882,15 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
     c_stratum, _ = cascades_stratum(rcfg.exp_step_factor, cfg.scale,
                                     cfg.cascades, dir_norm=cfg.dir_norm)
 
-    P, w_seek, w_len, s_cap = rcfg.wavefront
+    wf = tuple(rcfg.wavefront)
+    P, w_seek, w_len, s_cap = wf[:4]
+    # optional 5th element: strata budget per march window. The march
+    # default (ceil(2*cap/stratum), >= 2) turned out to BIND emissions at
+    # converged occupancy: ~2 strata x sparse fine occupancy emit ~6 of 16
+    # cap slots per iteration (fill 0.40 measured r5), so row-iterations —
+    # not window length — set the frame cost. A larger budget lets each
+    # iteration fill its cap from more strata.
+    s_strata = wf[4] if len(wf) > 4 else None
     pools = P if isinstance(P, tuple) else (P,)
     # clamp to the ray count and keep strictly descending (a stage equal to
     # or larger than its predecessor can never be entered)
@@ -949,13 +969,14 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
                 ro, rd, ts0, t2_r, cur, occ.fine_nbr, occ.coarse_nbr,
                 cfg.scale, rcfg.exp_step_factor, cfg.grid_size,
                 rcfg.max_samples, w_len, s_cap, stratum,
-                dir_norm=cfg.dir_norm)
+                s_strata=s_strata, dir_norm=cfg.dir_norm)
         elif c_stratum:
             mr = march_rays_window_cascades(
                 ro, rd, ts0, t2_r, cur, occ.density_bitfield,
                 occ.union_bits, cfg.cascades, cfg.scale,
                 rcfg.exp_step_factor, cfg.grid_size, rcfg.max_samples,
-                w_len, s_cap, c_stratum, dt_scale=dt_scale)
+                w_len, s_cap, c_stratum, s_strata=s_strata,
+                dt_scale=dt_scale)
         else:
             mr = march_rays_window(
                 ro, rd, ts0, t2_r, cur, occ.density_bitfield, cfg.cascades,
@@ -1019,7 +1040,10 @@ def _render_test_wavefront(model, params, occ, rays_o, rays_d,
             _, keep = jax.lax.top_k(pool[:, AL], p_stage)
             carry = (pool[keep], out, q, vr, it)
         carry = jax.lax.while_loop(cond, body, carry)
-    pool, out, q, vr_total, _ = carry
+    pool, out, q, vr_total, it_total = carry
+    if rcfg.wavefront_stats:
+        return (out[:, :3], out[:, 3], out[:, 4], vr_total, it_total,
+                n_valid)
     return out[:, :3], out[:, 3], out[:, 4], vr_total
 
 
