@@ -71,8 +71,15 @@ def main():
                          "coarse table; see NGPConfig.pool_a). 4 measured "
                          "12.47 -> 11.09 ms/step at the bench config, "
                          "quality-neutral (2026-08-20)")
-    ap.add_argument("--lr_k_max", type=int, default=512,
-                    help="LowRank finest-level knots (encoder cost ~ K)")
+    ap.add_argument("--lr_k_max", type=int, default=256,
+                    help="LowRank finest-level knots (encoder cost ~ K). "
+                         "256 is the r5 render-throughput point: training "
+                         "step time is K-invariant at this config (r3: "
+                         "44.7/44.2/44.8 ms at 512/256/128) and quality is "
+                         "flat-to-better (train PSNR 28.32 vs 28.02 at 900 "
+                         "steps, test PSNR 31.9/31.9/32.1 across K, r3), "
+                         "while the render field cost scales ~K (9.6 vs "
+                         "8.1 fps measured 2026-08-21)")
     ap.add_argument("--scale", type=float, default=0.5,
                     help="scene scale; > 0.5 exercises the multi-cascade "
                          "exponential-dt marching (TaT/mip-360-class config) "

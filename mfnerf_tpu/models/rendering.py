@@ -402,17 +402,16 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=8,
     occupied coarse cell into the camera once per frame (a matmul + one
     262k-element scatter-min/max) and bound each 16x16-pixel block's depth
     range conservatively. Rays then start marching at their block's t_near
-    and exhaust at t_far. Dilation by ``dilate`` blocks plus a near-camera
-    fallback keep the bound a strict superset of visible content.
+    and exhaust at t_far. Footprint-bucketed dilation tiers (dilate, 2x,
+    4x, then a screen-global bucket) keep the bound a strict superset of
+    visible content at every cell depth.
 
     Default (8, 2) is the r5 tightness-sweep winner: every valid ray costs
     >= 1 pool row-iteration (~0.35 us) in the wavefront renderer, so
     n_valid is a first-order frame cost — (8, 2) cut it 291k -> 192k
     (6.0 -> 8.1 fps) on the converged bench scene, still oracle-exact.
-    Tighter (block 4, or dilate 1) trips the ``d_safe`` near-camera
-    fallback — cell footprints exceed the dilated spill margin — and
-    degrades to a full-range march (measured 3.7 fps); looser settings
-    admit background rays that march emitting nothing.
+    Looser settings admit background rays that march emitting nothing;
+    tighter ones push ordinary cells into the wider tiers.
 
     Args:
         cfg: NGPConfig (static; single cascade).
@@ -447,36 +446,55 @@ def rasterize_block_ranges(cfg, occ_bitfield, k_cam, pose, img_wh, block=8,
     uv = (xc @ k_cam.T)[:, :2] / jnp.maximum(depth, 1e-6)[:, None]
 
     nbx, nby = -(-w // block), -(-h // block)
-    margin = float(block)
+    # a cell's projected footprint spills ~f*r_cell/depth pixels around its
+    # center's block: a uniform ``dilate`` only covers cells with footprint
+    # <= (dilate-0.5) blocks. Instead of the old FRAME-GLOBAL fallback
+    # (one stray near-camera occupied cell used to disable the whole
+    # frame's skip — full-range march, measured 3x slower), cells scatter
+    # into the smallest dilation TIER that covers their footprint; the
+    # handful nearer than the widest tier contribute a screen-global range
+    # (still per-frame conservative, never fatal).
+    f_max = jnp.maximum(k_cam[0, 0], k_cam[1, 1])
+    fp_blocks = f_max * r_cell \
+        / (jnp.maximum(depth, 1e-6) * block)          # footprint, in blocks
+    tiers = (dilate, 2 * dilate, 4 * dilate)
+    margin = float(tiers[-1] * block)
     valid = (occ_cells & (depth > r_cell)
              & (uv[:, 0] > -margin) & (uv[:, 0] < w + margin)
              & (uv[:, 1] > -margin) & (uv[:, 1] < h + margin))
     bu = jnp.clip(uv[:, 0].astype(jnp.int32) // block, 0, nbx - 1)
     bv = jnp.clip(uv[:, 1].astype(jnp.int32) // block, 0, nby - 1)
     bidx = bv * nbx + bu
-    near = jnp.full((nby * nbx,), jnp.inf).at[bidx].min(
-        jnp.where(valid, depth - r_cell, jnp.inf))
-    far = jnp.full((nby * nbx,), -jnp.inf).at[bidx].max(
-        jnp.where(valid, depth + r_cell, -jnp.inf))
 
-    near = near.reshape(nby, nbx)
-    far = far.reshape(nby, nbx)
-    for axis in (0, 1):
-        for _ in range(dilate):
-            near = jnp.minimum(near, jnp.minimum(
-                jnp.roll(near, 1, axis), jnp.roll(near, -1, axis)))
-            far = jnp.maximum(far, jnp.maximum(
-                jnp.roll(far, 1, axis), jnp.roll(far, -1, axis)))
+    near = jnp.full((nby, nbx), jnp.inf)
+    far = jnp.full((nby, nbx), -jnp.inf)
+    prev_cap = 0.0
+    for dil in tiers:
+        cap = dil - 0.5
+        sel = valid & (fp_blocks <= cap) & (fp_blocks > prev_cap)
+        prev_cap = cap
+        tn = jnp.full((nby * nbx,), jnp.inf).at[bidx].min(
+            jnp.where(sel, depth - r_cell, jnp.inf)).reshape(nby, nbx)
+        tf = jnp.full((nby * nbx,), -jnp.inf).at[bidx].max(
+            jnp.where(sel, depth + r_cell, -jnp.inf)).reshape(nby, nbx)
+        for axis in (0, 1):
+            for _ in range(dil):
+                tn = jnp.minimum(tn, jnp.minimum(
+                    jnp.roll(tn, 1, axis), jnp.roll(tn, -1, axis)))
+                tf = jnp.maximum(tf, jnp.maximum(
+                    jnp.roll(tf, 1, axis), jnp.roll(tf, -1, axis)))
+        near = jnp.minimum(near, tn)
+        far = jnp.maximum(far, tf)
 
-    # near-camera fallback: a cell's pixel footprint is ~f*r_cell/depth; the
-    # dilation covers dilate*block pixels of spill, so cells nearer than
-    # d_safe could leak outside the dilated blocks -> disable the skip for
-    # this frame (conservative full march)
-    f_max = jnp.maximum(k_cam[0, 0], k_cam[1, 1])
-    d_safe = f_max * r_cell / ((dilate - 0.5) * block)
-    too_close = (occ_cells & (depth < d_safe)).any()
-    near = jnp.where(too_close, 0.0, near)
-    far = jnp.where(too_close, jnp.inf, far)
+    # global remainder: cells too near for any tier cover (potentially) the
+    # whole screen — their range applies to every block. The depth gate
+    # keeps cells strictly behind the camera out (their clamped footprint
+    # is huge); a cell within r_cell of the camera plane still counts.
+    sel_g = occ_cells & (fp_blocks > prev_cap) & (depth > -r_cell)
+    g_near = jnp.min(jnp.where(sel_g, depth - r_cell, jnp.inf))
+    g_far = jnp.max(jnp.where(sel_g, depth + r_cell, -jnp.inf))
+    near = jnp.minimum(near, jnp.maximum(g_near, 0.0))
+    far = jnp.maximum(far, g_far)
 
     # block grid -> per pixel
     near_pix = jnp.repeat(jnp.repeat(near, block, 0), block, 1)[:h, :w]
